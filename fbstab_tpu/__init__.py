@@ -1,0 +1,39 @@
+"""fbstab_tpu: a TPU-native proximally stabilized semismooth
+Fischer-Burmeister QP solver framework (JAX/XLA/Pallas/pjit).
+
+Built from scratch with the capabilities of dliaomcp/fbstab (the reference
+C++/Eigen implementation of the FBstab algorithm, Liao-McPherson &
+Kolmanovsky, Automatica 113 (2020) 108801, arXiv:1901.04046), re-designed
+TPU-first: pure-function components over pytrees, fixed-shape lax control
+flow, massive vmap batching, and mesh sharding for multi-chip scale.
+"""
+
+from fbstab_tpu.core.algorithm import fbstab_solve
+from fbstab_tpu.core.variable import Variable
+from fbstab_tpu.models.dense_qp import (
+    DENSE_OPS,
+    DenseQPData,
+    FBstabDense,
+    dense_qp_data,
+    solve_dense_qp,
+    solve_dense_qp_batch,
+)
+from fbstab_tpu.options import Display, Options
+from fbstab_tpu.solver_out import ExitFlag, SolverOut
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DENSE_OPS",
+    "DenseQPData",
+    "Display",
+    "ExitFlag",
+    "FBstabDense",
+    "Options",
+    "SolverOut",
+    "Variable",
+    "dense_qp_data",
+    "fbstab_solve",
+    "solve_dense_qp",
+    "solve_dense_qp_batch",
+]

@@ -1,0 +1,325 @@
+"""The FBstab algorithm: proximally stabilized semismooth Newton for QPs.
+
+TPU-native re-design of FBstabAlgorithm (fbstab/fbstab_algorithm.h:113 and
+fbstab_algorithm-impl.h:113-304). The reference's pointer-linked mutable
+workspaces become loop-carried pytrees; its data-dependent `for`/`break`
+control flow becomes fixed-shape `lax.while_loop`s whose exits are status
+codes in the carry. The whole solve is a single pure jittable function, so
+`vmap` turns it into a masked-lockstep batch solver (converged instances'
+carries freeze while the batch finishes) and `jit` compiles it once per
+problem shape.
+
+Semantics preserved from the reference (file:line cites into
+/root/reference):
+ - outer proximal loop with success/stall/maxiter/infeasibility exits
+   (fbstab_algorithm-impl.h:158-224)
+ - sigma is constant at sigma0 throughout a solve (impl.h:136)
+ - inner semismooth Newton loop with dual exit conditions and the Newton
+   budget check (impl.h:237-299)
+ - nonmonotone backtracking linesearch with a 5-deep merit buffer
+   (impl.h:277-298, fbstab_algorithm.h:175-181)
+ - infeasibility certificates written into the output variable (impl.h:209)
+ - the MAXITERATIONS best-of-(xi,xk) selection (impl.h:188-199)
+The reference throws on factorization failure (impl.h:263-267); under jit
+that becomes the per-instance ExitFlag.LINEAR_SOLVER_FAILED.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fbstab_tpu.core.feasibility import check_feasibility
+from fbstab_tpu.core.problem import ProblemOps
+from fbstab_tpu.core.residuals import (
+    inner_residual,
+    penalized_natural_residual,
+    residual_norm,
+)
+from fbstab_tpu.core.variable import Variable, project_duals, var_axpy, var_norm
+from fbstab_tpu.options import Display, Options
+from fbstab_tpu.solver_out import ExitFlag
+
+# Depth of the nonmonotone linesearch merit history
+# (reference: fbstab_algorithm.h:175 kNonMonotoneLineSearch).
+NONMONOTONE_DEPTH = 5
+
+
+class CoreOut(NamedTuple):
+    """Traced portion of SolverOut (solve_time is added by the facades)."""
+
+    eflag: jnp.ndarray
+    residual: jnp.ndarray
+    newton_iters: jnp.ndarray
+    prox_iters: jnp.ndarray
+    initial_residual: jnp.ndarray
+
+
+def _select_tree(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class _InnerState(NamedTuple):
+    x: Variable
+    Eo: jnp.ndarray           # KKT residual at the top of the last iteration
+    i: jnp.ndarray
+    newton_iters: jnp.ndarray
+    merit_buf: jnp.ndarray    # (NONMONOTONE_DEPTH,)
+    done: jnp.ndarray
+    lin_fail: jnp.ndarray
+
+
+def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
+                               xbar: Variable, tol, sigma, Eouter,
+                               newton_iters, opts: Options):
+    """Semismooth Newton on the proximal subproblem x = P(xbar, sigma).
+
+    Reference: FBstabAlgorithm::SolveProximalSubproblem (impl.h:229-304).
+    Returns (x, Eo, newton_iters, lin_fail).
+    """
+    dtype = x0.z.dtype
+    alpha = opts.alpha
+
+    def cond(s: _InnerState):
+        return (s.i < opts.max_inner_iters) & ~s.done & ~s.lin_fail
+
+    def body(s: _InnerState) -> _InnerState:
+        ri = inner_residual(ops, data, s.x, xbar, sigma, alpha)
+        Ei = residual_norm(ri)
+        rk = penalized_natural_residual(ops, data, s.x, alpha)
+        Eo = residual_norm(rk)
+
+        # Exit checks (impl.h:250-251 then :258).
+        brk = (((Ei <= tol) & (Eo < Eouter)) | (Ei <= opts.inner_tol_min)
+               | (s.newton_iters >= opts.max_newton_iters))
+
+        def newton_step(operand):
+            x, merit_buf, n_iters = operand
+            fact = ops.factor(data, x, xbar, sigma, alpha)
+            ok = ops.factor_ok(fact)
+            dx = ops.newton_solve(data, fact, -ri.z, -ri.l, -ri.v)
+
+            # Nonmonotone merit history (impl.h:277-280).
+            current_merit = 0.5 * Ei * Ei
+            buf = jnp.concatenate([current_merit[None], merit_buf[:-1]])
+            if opts.nonmonotone_linesearch:
+                m0 = jnp.max(buf)
+            else:
+                m0 = current_merit
+
+            # Backtracking linesearch (impl.h:283-297).
+            def ls_cond(ls):
+                j, _, ls_done = ls
+                return (j < opts.max_linesearch_iters) & ~ls_done
+
+            def ls_body(ls):
+                j, t, _ = ls
+                xp = var_axpy(t, dx, x, b_vec)
+                rp = inner_residual(ops, data, xp, xbar, sigma, alpha)
+                np_ = residual_norm(rp)
+                mp = 0.5 * np_ * np_
+                accept = mp <= m0 - 2.0 * t * opts.eta * current_merit
+                t_next = jnp.where(accept, t, t * opts.beta)
+                return (j + 1, t_next, accept)
+
+            _, t, _ = lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.int32(0), jnp.asarray(1.0, dtype), jnp.bool_(False)))
+
+            x_new = var_axpy(t, dx, x, b_vec)  # x <- x + t*dx (impl.h:298)
+            return x_new, buf, n_iters + 1, ~ok
+
+        def skip_step(operand):
+            x, merit_buf, n_iters = operand
+            return x, merit_buf, n_iters, jnp.bool_(False)
+
+        x_new, buf_new, n_new, fail = lax.cond(
+            brk, skip_step, newton_step, (s.x, s.merit_buf, s.newton_iters))
+
+        return _InnerState(
+            x=x_new, Eo=Eo, i=s.i + 1, newton_iters=n_new,
+            merit_buf=buf_new, done=brk, lin_fail=fail)
+
+    init = _InnerState(
+        x=x0,
+        Eo=jnp.zeros((), dtype),
+        i=jnp.int32(0),
+        newton_iters=newton_iters,
+        merit_buf=jnp.zeros((NONMONOTONE_DEPTH,), dtype),
+        done=jnp.bool_(False),
+        lin_fail=jnp.bool_(False),
+    )
+    final = lax.while_loop(cond, body, init)
+
+    # Make duals non-negative (impl.h:301).
+    x = project_duals(final.x)
+    return x, final.Eo, final.newton_iters, final.lin_fail
+
+
+class _OuterState(NamedTuple):
+    xk: Variable
+    dx: Variable
+    inner_tol: jnp.ndarray
+    Ek: jnp.ndarray
+    newton_iters: jnp.ndarray
+    prox_iters: jnp.ndarray
+    k: jnp.ndarray
+    done: jnp.ndarray
+    eflag: jnp.ndarray
+    out_x: Variable
+    out_res: jnp.ndarray
+
+
+def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
+                 options: Options) -> tuple[Variable, CoreOut]:
+    """Solves one QP instance from the warmstart (z0, l0, v0).
+
+    The guess semantics match FBstabAlgorithm::Solve (impl.h:113-224): the
+    margin y is always recomputed as b - A z0 (CopyIntoVariable,
+    impl.h:336-347), the returned Variable is the solution, the best iterate,
+    or an infeasibility certificate depending on eflag.
+
+    vmap over (data, z0, l0, v0) gives the batched solver; the while loops
+    batch into masked lockstep automatically.
+    """
+    opts = options.validated()
+    dtype = z0.dtype
+    sigma = jnp.asarray(opts.sigma0, dtype)  # constant per solve (impl.h:136)
+    alpha = opts.alpha
+
+    b_vec = ops.b_vec(data)
+
+    combo_tol = opts.abs_tol + opts.rel_tol * (1.0 + ops.forcing_norm(data))
+
+    # Initialization (impl.h:139-149).
+    xk = Variable(z=z0, l=l0, v=v0, y=b_vec - ops.gemvA(data, z0))
+    ones = Variable(z=jnp.ones_like(z0), l=jnp.ones_like(l0),
+                    v=jnp.ones_like(v0), y=jnp.zeros_like(v0))
+    dx0 = ones._replace(y=b_vec - ops.gemvA(data, ones.z))
+
+    E0 = residual_norm(penalized_natural_residual(ops, data, xk, alpha))
+    inner_tol0 = jnp.clip(E0, opts.inner_tol_min, opts.inner_tol_max)
+
+    def cond(s: _OuterState):
+        return (s.k < opts.max_prox_iters) & ~s.done
+
+    def body(s: _OuterState) -> _OuterState:
+        rk = penalized_natural_residual(ops, data, s.xk, alpha)
+        Ek = residual_norm(rk)
+
+        # Success / stall exit (impl.h:162-169).
+        success = (Ek <= combo_tol) | (var_norm(s.dx) <= opts.stall_tol)
+
+        if opts.display_level == Display.ITER:
+            jax.debug.print(
+                "prox {k:>4}  newton {n:>5}  |r| {e:>12.4e}  itol {t:>12.4e}",
+                k=s.prox_iters, n=s.newton_iters, e=Ek, t=s.inner_tol)
+
+        # Subproblem tolerance update (impl.h:179-180).
+        inner_tol = jnp.clip(s.inner_tol * opts.delta, opts.inner_tol_min, Ek)
+
+        def run_subproblem(operand):
+            xk, itol, Ek_, n_iters = operand
+            return _solve_proximal_subproblem(
+                ops, data, b_vec, xk, xk, itol, sigma, Ek_, n_iters, opts)
+
+        def skip_subproblem(operand):
+            xk, _, _, n_iters = operand
+            return xk, jnp.zeros((), dtype), n_iters, jnp.bool_(False)
+
+        xi, Eo, n_iters, lin_fail = lax.cond(
+            success, skip_subproblem, run_subproblem,
+            (s.xk, inner_tol, Ek, s.newton_iters))
+
+        # dx <- xi - xk, margin identity preserved (impl.h:201-203).
+        dx = Variable(z=xi.z - s.xk.z, l=xi.l - s.xk.l, v=xi.v - s.xk.v,
+                      y=xi.y - s.xk.y + b_vec)
+
+        # Newton budget exit (impl.h:188-199): take the better of xi / xk and
+        # report the residual recomputed there.
+        newton_exhausted = n_iters >= opts.max_newton_iters
+        better_xi = Eo < Ek
+        x_budget = _select_tree(better_xi, xi, s.xk)
+        res_budget = residual_norm(
+            penalized_natural_residual(ops, data, x_budget, alpha))
+
+        # Infeasibility detection on dx (impl.h:204-212).
+        if opts.check_feasibility:
+            feas = check_feasibility(ops, data, dx, opts.infeas_tol)
+            p_inf = ~feas.primal_feasible
+            d_inf = ~feas.dual_feasible
+        else:
+            p_inf = jnp.bool_(False)
+            d_inf = jnp.bool_(False)
+        infeasible = p_inf | d_inf
+        eflag_infeas = jnp.where(
+            p_inf & d_inf, jnp.int32(ExitFlag.PRIMAL_DUAL_INFEASIBLE),
+            jnp.where(p_inf, jnp.int32(ExitFlag.PRIMAL_INFEASIBLE),
+                      jnp.int32(ExitFlag.DUAL_INFEASIBLE)))
+
+        # Resolve this iteration's outcome with the reference's priority:
+        # success (checked before the subproblem) > linear solver failure
+        # (thrown mid-subproblem) > newton budget > infeasibility > continue.
+        done = success | lin_fail | newton_exhausted | infeasible
+
+        eflag = jnp.where(
+            success, jnp.int32(ExitFlag.SUCCESS),
+            jnp.where(lin_fail, jnp.int32(ExitFlag.LINEAR_SOLVER_FAILED),
+                      jnp.where(newton_exhausted,
+                                jnp.int32(ExitFlag.MAXITERATIONS),
+                                jnp.where(infeasible, eflag_infeas,
+                                          s.eflag))))
+
+        out_x = _select_tree(
+            success, s.xk,
+            _select_tree(lin_fail, s.xk,
+                         _select_tree(newton_exhausted, x_budget,
+                                      _select_tree(infeasible, dx, s.out_x))))
+        out_res = jnp.where(
+            success, Ek,
+            jnp.where(lin_fail, Ek,
+                      jnp.where(newton_exhausted, res_budget,
+                                jnp.where(infeasible, Ek, s.out_res))))
+
+        # Continue: x(k+1) = xi (impl.h:215-216).
+        cont = ~done
+        xk_next = _select_tree(cont, xi, s.xk)
+        prox_next = jnp.where(cont, s.prox_iters + 1, s.prox_iters)
+
+        return _OuterState(
+            xk=xk_next, dx=dx, inner_tol=inner_tol, Ek=Ek,
+            newton_iters=n_iters, prox_iters=prox_next, k=s.k + 1,
+            done=done, eflag=eflag, out_x=out_x, out_res=out_res)
+
+    init = _OuterState(
+        xk=xk, dx=dx0,
+        inner_tol=inner_tol0,
+        Ek=E0,
+        newton_iters=jnp.int32(0),
+        prox_iters=jnp.int32(0),
+        k=jnp.int32(0),
+        done=jnp.bool_(False),
+        eflag=jnp.int32(ExitFlag.MAXITERATIONS),
+        out_x=xk,
+        out_res=E0,
+    )
+    final = lax.while_loop(cond, body, init)
+
+    # Proximal budget exhausted without an exit (impl.h:219-223): return xk
+    # with the (stale by one iteration, as in the reference) residual norm.
+    out_x = _select_tree(final.done, final.out_x, final.xk)
+    out_res = jnp.where(final.done, final.out_res, final.Ek)
+    eflag = jnp.where(final.done, final.eflag,
+                      jnp.int32(ExitFlag.MAXITERATIONS))
+
+    out = CoreOut(
+        eflag=eflag,
+        residual=out_res,
+        newton_iters=final.newton_iters,
+        prox_iters=final.prox_iters,
+        initial_residual=E0,
+    )
+    return out_x, out

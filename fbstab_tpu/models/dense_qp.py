@@ -1,0 +1,290 @@
+"""Dense QP specialization: data ops + Newton-step solver + facade.
+
+Covers the reference's DenseData (fbstab/components/dense_data.{h,cc}),
+DenseCholeskySolver (fbstab/components/dense_cholesky_solver.{h,cc}) and the
+FBstabDense facade (fbstab/fbstab_dense.{h,cc}), re-designed for TPU:
+
+ - DenseData's Eigen::Map zero-copy views become a plain pytree of arrays
+   (device-resident; zero-copy is the default in JAX).
+ - DenseCholeskySolver factors the indefinite saddle matrix
+   K = [E G'; G -sigma*I] with Eigen's pivoted LDL'
+   (dense_cholesky_solver.cc:66-78). JAX/TPU has no batched pivoted LDL',
+   and none is needed: K is symmetric *quasi-definite* (E > 0, -sigma*I < 0
+   with sigma > 0), so the block factorization
+       E = Le Le'                  (Cholesky)
+       S = sigma*I + W' W,  W = Le^{-1} G'   (SPD Schur complement)
+       S = Ls Ls'                  (Cholesky)
+   is the unpivoted LDL' in block form — stable for quasi-definite systems
+   and composed entirely of batched-friendly Cholesky/triangular ops that XLA
+   maps onto the MXU. It also handles the nl = 0 corner naturally (the
+   reference probes exactly this Eigen edge case in
+   fbstab/test/eigen_tests.cc:36-59).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fbstab_tpu.core.algorithm import fbstab_solve
+from fbstab_tpu.core.problem import ProblemOps
+from fbstab_tpu.core.variable import Variable
+from fbstab_tpu.options import Options
+from fbstab_tpu.ops.pfb import pfb_weights
+from fbstab_tpu.solver_out import SolverOut
+
+
+class DenseQPData(NamedTuple):
+    """Problem data for  min 1/2 z'Hz + f'z  s.t.  Gz = h, Az <= b
+    (reference: FBstabDense::ProblemData, fbstab_dense.h:55-64)."""
+
+    H: jnp.ndarray  # (nz, nz) PSD Hessian
+    f: jnp.ndarray  # (nz,)
+    G: jnp.ndarray  # (nl, nz)
+    h: jnp.ndarray  # (nl,)
+    A: jnp.ndarray  # (nv, nz)
+    b: jnp.ndarray  # (nv,)
+
+
+def dense_qp_data(H, f, G=None, h=None, A=None, b=None,
+                  dtype=jnp.float64) -> DenseQPData:
+    """Builds a DenseQPData pytree, defaulting missing equality blocks to
+    zero-size arrays (nl = 0 is allowed, as in the reference)."""
+    H = jnp.asarray(H, dtype)
+    nz = H.shape[0]
+    if G is None:
+        G = jnp.zeros((0, nz), dtype)
+        h = jnp.zeros((0,), dtype)
+    return DenseQPData(
+        H=H, f=jnp.asarray(f, dtype),
+        G=jnp.asarray(G, dtype), h=jnp.asarray(h, dtype),
+        A=jnp.asarray(A, dtype), b=jnp.asarray(b, dtype))
+
+
+# ------------------------------------------------------------------
+# Data operations (reference: dense_data.cc:12-41; trivial explicit-matrix
+# matvecs — XLA fuses the surrounding axpys into them).
+# ------------------------------------------------------------------
+
+def _gemvH(d: DenseQPData, x):
+    return d.H @ x
+
+
+def _gemvA(d: DenseQPData, x):
+    return d.A @ x
+
+
+def _gemvG(d: DenseQPData, x):
+    return d.G @ x
+
+
+def _gemvAT(d: DenseQPData, v):
+    return d.A.T @ v
+
+
+def _gemvGT(d: DenseQPData, l):
+    return d.G.T @ l
+
+
+def _forcing_norm(d: DenseQPData):
+    """||(f, h, b)||_2 (reference: dense_data.h:72-73)."""
+    return jnp.sqrt(jnp.sum(d.f**2) + jnp.sum(d.h**2) + jnp.sum(d.b**2))
+
+
+# ------------------------------------------------------------------
+# Newton-step solver (reference: dense_cholesky_solver.cc:32-127).
+# ------------------------------------------------------------------
+
+class DenseFactorization(NamedTuple):
+    Le: jnp.ndarray     # (nz, nz) lower Cholesky factor of E
+    W: jnp.ndarray      # (nz, nl) = Le^{-1} G'
+    Ls: jnp.ndarray     # (nl, nl) lower Cholesky factor of the Schur S
+    gamma: jnp.ndarray  # (nv,)
+    mus: jnp.ndarray    # (nv,)
+    sigma: jnp.ndarray  # scalar
+
+
+def _factor(d: DenseQPData, x: Variable, xbar: Variable, sigma, alpha
+            ) -> DenseFactorization:
+    """Forms and factors the Newton system, paper (28)/(29)
+    (dense_cholesky_solver.cc:32-79)."""
+    nz = d.H.shape[0]
+    gamma, mus, Gamma = pfb_weights(x.y, x.v, xbar.v, sigma, alpha)
+
+    # E = H + sigma*I + A' * diag(Gamma) * A
+    E = d.H + sigma * jnp.eye(nz, dtype=d.H.dtype)
+    E = E + d.A.T @ (Gamma[:, None] * d.A)
+    Le = jnp.linalg.cholesky(E)
+
+    # W = Le^{-1} G',  S = sigma*I + W'W  (SPD Schur complement of E in K).
+    W = jax.scipy.linalg.solve_triangular(Le, d.G.T, lower=True)
+    nl = d.G.shape[0]
+    S = sigma * jnp.eye(nl, dtype=d.H.dtype) + W.T @ W
+    Ls = jnp.linalg.cholesky(S)
+
+    return DenseFactorization(Le=Le, W=W, Ls=Ls, gamma=gamma, mus=mus,
+                              sigma=jnp.asarray(sigma, d.H.dtype))
+
+
+def _factor_ok(fact: DenseFactorization):
+    """True if both Cholesky factorizations succeeded. XLA's cholesky signals
+    failure with NaNs rather than an error (the jit analog of
+    Eigen::ComputationInfo, dense_cholesky_solver.cc:72-78)."""
+    ok_e = jnp.all(jnp.isfinite(jnp.diagonal(fact.Le)))
+    ok_s = jnp.all(jnp.isfinite(jnp.diagonal(fact.Ls)))
+    return ok_e & ok_s
+
+
+def _newton_solve(d: DenseQPData, fact: DenseFactorization, rz, rl, rv
+                  ) -> Variable:
+    """Solves the Newton system given the factorization
+    (dense_cholesky_solver.cc:81-127):
+
+        [E  G'] [dz] = [rz - A'(rv ./ mus)]
+        [G -sI] [dl]   [-rl]
+        diag(mus) dv = rv + diag(gamma) A dz
+        dy = b - A dz
+
+    via block elimination:  u = Le^{-1} r1;  (W'W + sI) dl = W'u - r2;
+    E dz = r1 - G' dl.
+    """
+    solve_tri = jax.scipy.linalg.solve_triangular
+
+    r1 = rz - d.A.T @ (rv / fact.mus)
+    r2 = -rl
+
+    u = solve_tri(fact.Le, r1, lower=True)
+    rhs_l = fact.W.T @ u - r2
+    tl = solve_tri(fact.Ls, rhs_l, lower=True)
+    dl = solve_tri(fact.Ls.T, tl, lower=False)
+
+    rhs_z = r1 - d.G.T @ dl
+    tz = solve_tri(fact.Le, rhs_z, lower=True)
+    dz = solve_tri(fact.Le.T, tz, lower=False)
+
+    Adz = d.A @ dz
+    dv = (rv + fact.gamma * Adz) / fact.mus
+    dy = d.b - Adz
+    return Variable(z=dz, l=dl, v=dv, y=dy)
+
+
+DENSE_OPS = ProblemOps(
+    gemvH=_gemvH, gemvA=_gemvA, gemvG=_gemvG, gemvAT=_gemvAT, gemvGT=_gemvGT,
+    f_vec=lambda d: d.f, h_vec=lambda d: d.h, b_vec=lambda d: d.b,
+    forcing_norm=_forcing_norm,
+    factor=_factor, factor_ok=_factor_ok, newton_solve=_newton_solve,
+)
+
+
+# ------------------------------------------------------------------
+# Functional entry points.
+# ------------------------------------------------------------------
+
+def solve_dense_qp(data: DenseQPData, z0, l0, v0,
+                   options: Options = Options()):
+    """Jittable single-instance dense solve. Returns (Variable, CoreOut)."""
+    return fbstab_solve(DENSE_OPS, data, z0, l0, v0, options)
+
+
+def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
+                         options: Options = Options()):
+    """Batched dense solve: every array in `data` and the guesses carry a
+    leading batch dimension. Masked-lockstep semantics via vmapped
+    while_loops (the reference has no batch mode; this is the TPU 'DP'
+    analog, SURVEY.md section 2)."""
+    return jax.vmap(
+        lambda d, z, l, v: fbstab_solve(DENSE_OPS, d, z, l, v, options)
+    )(data, z0, l0, v0)
+
+
+# ------------------------------------------------------------------
+# Facade (reference: FBstabDense, fbstab_dense.h:50).
+# ------------------------------------------------------------------
+
+class FBstabDense:
+    """Allocate-once/solve-many facade for dense QPs.
+
+    The reference pre-allocates all workspaces in its constructor
+    (fbstab_dense.cc:18-42) so Solve is allocation-free; the TPU analog is
+    compiling the solve once per (nz, nl, nv, options) and reusing the
+    executable. Warmstarting works the same way: Solve reads and returns the
+    primal-dual guess (the caller threads it between calls).
+    """
+
+    def __init__(self, nz: int, nl: int, nv: int, dtype=jnp.float64):
+        if nz <= 0 or nv <= 0 or nl < 0:
+            raise ValueError("FBstabDense requires nz > 0, nv > 0, nl >= 0.")
+        self.nz, self.nl, self.nv = nz, nl, nv
+        self.dtype = dtype
+        self._options = Options.default()
+        self._compiled = None
+
+    def update_options(self, options: Options) -> None:
+        """Reference: FBstabDense::UpdateOptions (fbstab_dense.cc:44-48)."""
+        self._options = options.validated()
+        self._compiled = None
+
+    @property
+    def options(self) -> Options:
+        return self._options
+
+    @staticmethod
+    def default_options() -> Options:
+        return Options.default()
+
+    @staticmethod
+    def reliable_options() -> Options:
+        return Options.reliable()
+
+    def _get_compiled(self):
+        if self._compiled is None:
+            opts = self._options
+            self._compiled = jax.jit(
+                lambda d, z, l, v: fbstab_solve(DENSE_OPS, d, z, l, v, opts))
+        return self._compiled
+
+    def solve(self, data: DenseQPData, x0: Optional[Variable] = None
+              ) -> tuple[Variable, SolverOut]:
+        """Solves one QP. x0 is the warmstart (origin if omitted); the
+        returned Variable replaces it, matching the reference's
+        overwrite-the-guess contract (fbstab_algorithm.h:129-142)."""
+        self._validate(data)
+        if x0 is None:
+            x0 = Variable(
+                z=jnp.zeros((self.nz,), self.dtype),
+                l=jnp.zeros((self.nl,), self.dtype),
+                v=jnp.zeros((self.nv,), self.dtype),
+                y=jnp.zeros((self.nv,), self.dtype))
+        fn = self._get_compiled()
+        t0 = time.perf_counter()
+        x, core = fn(data, x0.z, x0.l, x0.v)
+        jax.block_until_ready((x, core))
+        elapsed = time.perf_counter() - t0
+        out = SolverOut(
+            eflag=core.eflag, residual=core.residual,
+            newton_iters=core.newton_iters, prox_iters=core.prox_iters,
+            solve_time=jnp.asarray(elapsed),
+            initial_residual=core.initial_residual)
+        self._maybe_print_final(out)
+        return x, out
+
+    def _validate(self, data: DenseQPData) -> None:
+        nz, nl, nv = self.nz, self.nl, self.nv
+        shapes = {
+            "H": (data.H.shape, (nz, nz)), "f": (data.f.shape, (nz,)),
+            "G": (data.G.shape, (nl, nz)), "h": (data.h.shape, (nl,)),
+            "A": (data.A.shape, (nv, nz)), "b": (data.b.shape, (nv,)),
+        }
+        for name, (got, want) in shapes.items():
+            if tuple(got) != want:
+                raise ValueError(
+                    f"FBstabDense.solve: {name} has shape {got}, "
+                    f"expected {want}.")
+
+    def _maybe_print_final(self, out: SolverOut) -> None:
+        from fbstab_tpu.utils.printing import print_final
+        print_final(out, self._options)

@@ -1,0 +1,148 @@
+"""Solver options for FBstab-TPU.
+
+Mirrors the reference option surface (fbstab/fbstab_algorithm.h:48-82 and
+fbstab/fbstab_algorithm-impl.h:7-74 in dliaomcp/fbstab): the same 20 fields,
+the same Default / Reliable profiles and the same saturation-based validation.
+
+Options are a *static* pytree: every field is a Python scalar, so a jitted
+solve specializes on the option values (the TPU analog of the reference's
+allocate-once / solve-many pattern). Changing options triggers a retrace,
+which matches the intended usage (options are set once per solver object).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax
+
+
+class Display(enum.IntEnum):
+    """Verbosity levels (reference: fbstab_algorithm.h:40-45)."""
+
+    OFF = 0
+    FINAL = 1
+    ITER = 2
+    ITER_DETAILED = 3
+
+
+def _saturate(x: float, lo: float, hi: float) -> float:
+    """Clamp x into [lo, hi] (reference: tools/utilities.h saturate)."""
+    return min(max(x, lo), hi)
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Algorithm parameters (reference: fbstab_algorithm.h:48-82).
+
+    Field defaults follow AlgorithmParameters::DefaultParameters()
+    (fbstab_algorithm-impl.h:33-59), which is what both reference facades
+    install at construction time.
+    """
+
+    sigma0: float = 1e-8        # initial (and in practice, constant) prox strength
+    sigma_max: float = 1e-6
+    sigma_min: float = 1e-12
+    alpha: float = 0.95         # penalized-FB blending parameter
+    beta: float = 0.75          # linesearch backtracking factor
+    eta: float = 1e-8           # sufficient decrease parameter
+    delta: float = 0.2          # subproblem tolerance reduction factor
+    gamma: float = 0.1          # reserved: sigma reduction factor
+
+    abs_tol: float = 1e-6
+    rel_tol: float = 1e-12
+    stall_tol: float = 1e-10
+    infeas_tol: float = 1e-8
+
+    inner_tol_max: float = 1e-2
+    inner_tol_min: float = 1e-12
+
+    max_newton_iters: int = 200
+    max_prox_iters: int = 30
+    max_inner_iters: int = 50
+    max_linesearch_iters: int = 20
+
+    check_feasibility: bool = True
+    nonmonotone_linesearch: bool = True
+    display_level: Display = Display.OFF
+
+    def validated(self) -> "Options":
+        """Returns a copy with every field saturated into its documented safe
+        range (reference: AlgorithmParameters::ValidateOptions,
+        fbstab_algorithm-impl.h:7-31)."""
+        sigma0 = max(self.sigma0, 1e-10)
+        sigma_max = _saturate(self.sigma_max, 1e-6, 1e2)
+        sigma_min = _saturate(self.sigma_min, 1e-13, 1e-8)
+        sigma0 = _saturate(sigma0, sigma_min, sigma_max)
+        return dataclasses.replace(
+            self,
+            sigma0=sigma0,
+            sigma_max=sigma_max,
+            sigma_min=sigma_min,
+            alpha=_saturate(self.alpha, 0.001, 0.999),
+            beta=_saturate(self.beta, 0.1, 0.99),
+            eta=_saturate(self.eta, 1e-12, 0.499),
+            delta=_saturate(self.delta, 0.0001, 0.99),
+            gamma=_saturate(self.gamma, 0.001, 0.9),
+            abs_tol=max(self.abs_tol, 1e-14),
+            rel_tol=max(self.rel_tol, 0.0),
+            stall_tol=max(self.stall_tol, 1e-14),
+            infeas_tol=max(self.infeas_tol, 1e-14),
+            inner_tol_max=_saturate(self.inner_tol_max, 1e-8, 1e2),
+            inner_tol_min=_saturate(self.inner_tol_min, 1e-14, 1e-2),
+            max_newton_iters=max(self.max_newton_iters, 1),
+            max_prox_iters=max(self.max_prox_iters, 1),
+            max_inner_iters=max(self.max_inner_iters, 1),
+            max_linesearch_iters=max(self.max_linesearch_iters, 1),
+        )
+
+    @staticmethod
+    def default() -> "Options":
+        """Recommended settings (reference: DefaultParameters,
+        fbstab_algorithm-impl.h:33-59)."""
+        return Options()
+
+    @staticmethod
+    def single_precision() -> "Options":
+        """Settings tuned for float32 TPU runs (no reference counterpart:
+        the reference is double-precision only).
+
+        The default sigma0 = 1e-8 puts ~1/sigma ~ 1e8 conditioning into the
+        Newton system, which float32 Cholesky cannot absorb (observed
+        LINEAR_SOLVER_FAILED on TPU v5e). sigma0 = 1e-4 keeps the system
+        well-conditioned in f32 and still reaches ~5e-7 residuals.
+        """
+        return dataclasses.replace(
+            Options(),
+            sigma0=1e-4,
+            sigma_max=1e-2,
+            sigma_min=1e-6,
+            abs_tol=1e-5,
+            stall_tol=1e-8,
+            infeas_tol=1e-6,
+            inner_tol_min=1e-7,
+        )
+
+    @staticmethod
+    def reliable() -> "Options":
+        """Settings for hard / ill-conditioned problems (reference:
+        ReliableParameters, fbstab_algorithm-impl.h:61-74)."""
+        return dataclasses.replace(
+            Options(),
+            sigma0=1e-4,
+            sigma_max=1e-2,
+            sigma_min=1e-10,
+            beta=0.9,
+            abs_tol=1e-4,
+            rel_tol=1e-6,
+            max_linesearch_iters=40,
+            max_newton_iters=500,
+            max_prox_iters=100,
+            nonmonotone_linesearch=False,
+        )
+
+
+# Options carry only Python scalars: register as a static (leaf-less) pytree so
+# jitted solvers specialize on the option values.
+jax.tree_util.register_static(Options)

@@ -1,0 +1,46 @@
+"""Exit flags and structured solver output.
+
+Mirrors ExitFlag and SolverOut from the reference
+(fbstab/fbstab_algorithm.h:17-37), extended with a per-instance
+LINEAR_SOLVER_FAILED code: under jit there are no exceptions, so the
+reference's `throw std::runtime_error` on factorization failure
+(fbstab_algorithm-impl.h:263-267) becomes a status code instead.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class ExitFlag(enum.IntEnum):
+    """Return codes (reference: fbstab_algorithm.h:17-24)."""
+
+    SUCCESS = 0
+    DIVERGENCE = 1
+    MAXITERATIONS = 2
+    PRIMAL_INFEASIBLE = 3
+    DUAL_INFEASIBLE = 4
+    PRIMAL_DUAL_INFEASIBLE = 5
+    # TPU-native extension: factorization failure is a per-instance status,
+    # not an exception (SURVEY.md section 5 "failure detection").
+    LINEAR_SOLVER_FAILED = 6
+
+
+class SolverOut(NamedTuple):
+    """Structured result pytree (reference: fbstab_algorithm.h:30-37).
+
+    Each field is a scalar array per solved instance; under vmap they become
+    batched arrays. `solve_time` is wall-clock seconds measured by the
+    (non-traced) facade; -1.0 means timing unavailable, matching the
+    reference's convention.
+    """
+
+    eflag: jnp.ndarray           # int32, ExitFlag value
+    residual: jnp.ndarray        # final penalized natural residual norm
+    newton_iters: jnp.ndarray    # int32
+    prox_iters: jnp.ndarray      # int32
+    solve_time: jnp.ndarray      # seconds; -1.0 when timing disabled
+    initial_residual: jnp.ndarray
