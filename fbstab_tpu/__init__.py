@@ -18,6 +18,14 @@ from fbstab_tpu.models.dense_qp import (
     solve_dense_qp,
     solve_dense_qp_batch,
 )
+from fbstab_tpu.models.mpc_qp import (
+    MPC_OPS,
+    FBstabMpc,
+    MpcQPData,
+    mpc_qp_data,
+    solve_mpc_qp,
+    solve_mpc_qp_batch,
+)
 from fbstab_tpu.options import Display, Options
 from fbstab_tpu.solver_out import ExitFlag, SolverOut
 
@@ -29,11 +37,17 @@ __all__ = [
     "Display",
     "ExitFlag",
     "FBstabDense",
+    "FBstabMpc",
+    "MPC_OPS",
+    "MpcQPData",
     "Options",
     "SolverOut",
     "Variable",
     "dense_qp_data",
     "fbstab_solve",
+    "mpc_qp_data",
     "solve_dense_qp",
     "solve_dense_qp_batch",
+    "solve_mpc_qp",
+    "solve_mpc_qp_batch",
 ]

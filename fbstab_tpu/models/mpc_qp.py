@@ -1,0 +1,494 @@
+"""MPC (linear-quadratic optimal control) QP specialization.
+
+Covers the reference's MpcData (fbstab/components/mpc_data.{h,cc}),
+RiccatiLinearSolver (fbstab/components/riccati_linear_solver.{h,cc}) and the
+FBstabMpc facade (fbstab/fbstab_mpc.{h,cc}), re-designed for TPU.
+
+The QP is (reference: mpc_data.h:18-41):
+
+    min.  sum_{i=0}^N 1/2 [x(i)]' [Q(i) S(i)'] [x(i)] + [q(i)]' [x(i)]
+                          [u(i)]  [S(i) R(i) ] [u(i)]   [r(i)]  [u(i)]
+    s.t.  x(i+1) = A(i) x(i) + B(i) u(i) + c(i),  i = 0..N-1
+          x(0) = x0
+          E(i) x(i) + L(i) u(i) + d(i) <= 0,       i = 0..N
+
+with nz = (N+1)(nx+nu), nl = (N+1)nx, nv = (N+1)nc.
+
+TPU-first design decisions:
+ - The reference's MatrixSequence containers (tools/matrix_sequence.h:18)
+   become stacked arrays: Q is (N+1, nx, nx), A is (N, nx, nx), etc. The
+   per-stage `for` loops in mpc_data.cc:17-238 become batched einsums over
+   the stage axis — one fused matmul per operator instead of N+1 small gemvs,
+   which is exactly what the MXU wants once a QP batch axis is vmapped in
+   front.
+ - The Riccati recursion (riccati_linear_solver.cc:77-344, after
+   Rao-Wright-Rawlings 1998) is sequential in the horizon, so it is a
+   `lax.scan` whose per-stage body is a handful of (nx, nx)/(nu, nu)
+   Cholesky and triangular solves. Individually these matrices are
+   TPU-hostile (tiny); the throughput comes from vmapping thousands of QP
+   instances so each scan step runs batched factorizations.
+ - Eigen LLT failure checks (riccati_linear_solver.cc:131-136) become NaN
+   detection on the factor diagonals: XLA's cholesky emits NaNs for
+   non-SPD inputs, and NaNs propagate through the scan to the flags.
+
+The flat primal layout is stage-major, matching the reference's
+column-reshaped views (mpc_data.cc:31-34): z = [x(0); u(0); ...; x(N); u(N)],
+l = [l(0); ...; l(N)], v = [v(0); ...; v(N)].
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from fbstab_tpu.core.algorithm import fbstab_solve
+from fbstab_tpu.core.problem import ProblemOps
+from fbstab_tpu.core.variable import Variable
+from fbstab_tpu.options import Options
+from fbstab_tpu.ops.pfb import pfb_weights
+from fbstab_tpu.solver_out import SolverOut
+
+
+class MpcQPData(NamedTuple):
+    """Stacked-array MPC problem data (reference: MpcData, mpc_data.h:43;
+    FBstabMpc::ProblemData, fbstab_mpc.h:67-120).
+
+    Stage counts: Q,R,S,q,r,E,L,d have N+1 entries; A,B,c have N.
+    """
+
+    Q: jnp.ndarray   # (N+1, nx, nx) state cost
+    R: jnp.ndarray   # (N+1, nu, nu) input cost
+    S: jnp.ndarray   # (N+1, nu, nx) cross cost
+    q: jnp.ndarray   # (N+1, nx)
+    r: jnp.ndarray   # (N+1, nu)
+    A: jnp.ndarray   # (N, nx, nx) dynamics
+    B: jnp.ndarray   # (N, nx, nu)
+    c: jnp.ndarray   # (N, nx)
+    E: jnp.ndarray   # (N+1, nc, nx) state constraint
+    L: jnp.ndarray   # (N+1, nc, nu) input constraint
+    d: jnp.ndarray   # (N+1, nc)
+    x0: jnp.ndarray  # (nx,)
+
+
+def mpc_dims(d: MpcQPData) -> tuple[int, int, int, int]:
+    """(N, nx, nu, nc) from array shapes (static under trace)."""
+    N = d.A.shape[-3]
+    nx = d.A.shape[-1]
+    nu = d.B.shape[-1]
+    nc = d.E.shape[-2]
+    return N, nx, nu, nc
+
+
+def mpc_qp_data(Q, R, S, q, r, A, B, c, E, L, d, x0,
+                dtype=jnp.float64) -> MpcQPData:
+    """Builds an MpcQPData pytree with size validation mirroring
+    MpcData::ValidateInputs (mpc_data.cc:291-363)."""
+    arrs = {k: jnp.asarray(v, dtype) for k, v in dict(
+        Q=Q, R=R, S=S, q=q, r=r, A=A, B=B, c=c, E=E, L=L, d=d, x0=x0).items()}
+    data = MpcQPData(**arrs)
+    N, nx, nu, nc = mpc_dims(data)
+    if N <= 0:
+        raise ValueError("Horizon length must be at least 1.")
+    expect = dict(
+        Q=(N + 1, nx, nx), R=(N + 1, nu, nu), S=(N + 1, nu, nx),
+        q=(N + 1, nx), r=(N + 1, nu),
+        A=(N, nx, nx), B=(N, nx, nu), c=(N, nx),
+        E=(N + 1, nc, nx), L=(N + 1, nc, nu), d=(N + 1, nc), x0=(nx,))
+    for name, want in expect.items():
+        got = tuple(getattr(data, name).shape)
+        if got != want:
+            raise ValueError(
+                f"mpc_qp_data: {name} has shape {got}, expected {want}.")
+    return data
+
+
+# ------------------------------------------------------------------
+# Matrix-free data operators (reference: mpc_data.cc:17-289). Stage loops
+# become einsums batched over the stage axis.
+# ------------------------------------------------------------------
+
+def _split_z(d: MpcQPData, z):
+    """(nz,) -> stagewise ((N+1, nx), (N+1, nu))."""
+    N, nx, nu, _ = mpc_dims(d)
+    s = z.reshape(N + 1, nx + nu)
+    return s[:, :nx], s[:, nx:]
+
+
+def _gemvH(d: MpcQPData, x):
+    """y(i) = [Q(i) S(i)'; S(i) R(i)] [vx(i); vu(i)]
+    (reference: mpc_data.cc:17-65)."""
+    vx, vu = _split_z(d, x)
+    yx = (jnp.einsum("sij,sj->si", d.Q, vx)
+          + jnp.einsum("sji,sj->si", d.S, vu))
+    yu = (jnp.einsum("sij,sj->si", d.S, vx)
+          + jnp.einsum("sij,sj->si", d.R, vu))
+    return jnp.concatenate([yx, yu], axis=1).reshape(-1)
+
+
+def _gemvA(d: MpcQPData, x):
+    """y(i) = E(i) x(i) + L(i) u(i) (reference: mpc_data.cc:67-105)."""
+    vx, vu = _split_z(d, x)
+    y = (jnp.einsum("scj,sj->sc", d.E, vx)
+         + jnp.einsum("scj,sj->sc", d.L, vu))
+    return y.reshape(-1)
+
+
+def _gemvG(d: MpcQPData, x):
+    """y(0) = -x(0); y(i) = A(i-1) x(i-1) + B(i-1) u(i-1) - x(i)
+    (reference: mpc_data.cc:107-151)."""
+    vx, vu = _split_z(d, x)
+    head = -vx[:1]
+    tail = (jnp.einsum("sij,sj->si", d.A, vx[:-1])
+            + jnp.einsum("sij,sj->si", d.B, vu[:-1])
+            - vx[1:])
+    return jnp.concatenate([head, tail], axis=0).reshape(-1)
+
+
+def _gemvGT(d: MpcQPData, l):
+    """x(i) = -v(i) + A(i)' v(i+1) [i<N], x(N) = -v(N);
+    u(i) = B(i)' v(i+1) [i<N], u(N) = 0
+    (reference: mpc_data.cc:153-199)."""
+    N, nx, nu, _ = mpc_dims(d)
+    v = l.reshape(N + 1, nx)
+    atv = jnp.einsum("sji,sj->si", d.A, v[1:])            # A' v(i+1)
+    btv = jnp.einsum("sji,sj->si", d.B, v[1:])            # B' v(i+1)
+    yx = -v + jnp.concatenate([atv, jnp.zeros_like(v[:1])], axis=0)
+    yu = jnp.concatenate(
+        [btv, jnp.zeros((1, nu), dtype=l.dtype)], axis=0)
+    return jnp.concatenate([yx, yu], axis=1).reshape(-1)
+
+
+def _gemvAT(d: MpcQPData, vflat):
+    """x(i) = E(i)' v(i); u(i) = L(i)' v(i)
+    (reference: mpc_data.cc:201-238)."""
+    N, nx, nu, nc = mpc_dims(d)
+    v = vflat.reshape(N + 1, nc)
+    yx = jnp.einsum("sci,sc->si", d.E, v)
+    yu = jnp.einsum("sci,sc->si", d.L, v)
+    return jnp.concatenate([yx, yu], axis=1).reshape(-1)
+
+
+def _f_vec(d: MpcQPData):
+    """f = [(q(i); r(i))]_i (reference: axpyf, mpc_data.cc:240-259)."""
+    return jnp.concatenate([d.q, d.r], axis=1).reshape(-1)
+
+
+def _h_vec(d: MpcQPData):
+    """h = -[x0; c(0); ...; c(N-1)] (reference: axpyh,
+    mpc_data.cc:261-274)."""
+    return -jnp.concatenate([d.x0[None, :], d.c], axis=0).reshape(-1)
+
+
+def _b_vec(d: MpcQPData):
+    """b = -[d(i)]_i (reference: axpyb, mpc_data.cc:276-289)."""
+    return -d.d.reshape(-1)
+
+
+def _forcing_norm(d: MpcQPData):
+    """||(f, h, b)||_2 (reference: MpcData ctor, mpc_data.h:100-108)."""
+    s = (jnp.sum(d.q * d.q) + jnp.sum(d.r * d.r) + jnp.sum(d.d * d.d)
+         + jnp.sum(d.x0 * d.x0) + jnp.sum(d.c * d.c))
+    return jnp.sqrt(s)
+
+
+# ------------------------------------------------------------------
+# Riccati-recursion Newton-step solver
+# (reference: riccati_linear_solver.cc:77-344).
+# ------------------------------------------------------------------
+
+class RiccatiFactorization(NamedTuple):
+    """Per-stage factors carried from factor() to newton_solve().
+
+    Mirrors the mutable workspaces P_, SG_, M_, L_, SM_, AM_ of the
+    reference (riccati_linear_solver.h:109-141), stacked over stages.
+    """
+
+    L: jnp.ndarray      # (N+1, nx, nx) chol of the Riccati matrix Pi
+    M: jnp.ndarray      # (N+1, nx, nx) chol(Qhat + inv(L L'))
+    SM: jnp.ndarray     # (N+1, nu, nx) Shat inv(M)'
+    SG: jnp.ndarray     # (N+1, nu, nu) chol(Rhat - SM SM')
+    AM: jnp.ndarray     # (N, nx, nx)   A inv(M)'
+    P: jnp.ndarray      # (N, nx, nu)   (AM SM' - B) inv(SG)'
+    gamma: jnp.ndarray  # (nv,)
+    mus: jnp.ndarray    # (nv,)
+
+
+def _riccati_factor(d: MpcQPData, x: Variable, xbar: Variable, sigma, alpha
+                    ) -> RiccatiFactorization:
+    """Barrier-augmented stage Hessians + forward Riccati matrix recursion
+    (reference: RiccatiLinearSolver::Initialize,
+    riccati_linear_solver.cc:77-210)."""
+    N, nx, nu, nc = mpc_dims(d)
+    dtype = d.Q.dtype
+    Ix = jnp.eye(nx, dtype=dtype)
+    Iu = jnp.eye(nu, dtype=dtype)
+    solve_tri = jax.scipy.linalg.solve_triangular
+
+    gamma, mus, Gam = pfb_weights(x.y, x.v, xbar.v, sigma, alpha)
+    Gs = Gam.reshape(N + 1, nc)
+
+    # Barrier-augmented Hessian, batched over stages
+    # (riccati_linear_solver.cc:101-123):
+    #   Qhat = Q + sigma*I + E' diag(Gam) E
+    #   Rhat = R + sigma*I + L' diag(Gam) L
+    #   Shat = S + L' diag(Gam) E
+    GE = Gs[:, :, None] * d.E
+    GL = Gs[:, :, None] * d.L
+    Qh = d.Q + sigma * Ix + jnp.einsum("sci,scj->sij", d.E, GE)
+    Rh = d.R + sigma * Iu + jnp.einsum("sci,scj->sij", d.L, GL)
+    Sh = d.S + jnp.einsum("sci,scj->sij", d.L, GE)
+
+    def cho_inverse(Lf):
+        # inv(Lf Lf') via two triangular solves (the reference materializes
+        # Linv_ the same way, riccati_linear_solver.cc:140-144).
+        t = solve_tri(Lf, Ix, lower=True)
+        return solve_tri(Lf.T, t, lower=False)
+
+    def stage_factor(Lf, Qh_i, Rh_i, Sh_i):
+        # M = chol(Qhat + inv(L L')); SM = Shat inv(M)';
+        # SG = chol(Rhat - SM SM').  (cc:145-151, 160-168 / 212-228)
+        M = jnp.linalg.cholesky(Qh_i + cho_inverse(Lf))
+        SM = solve_tri(M, Sh_i.T, lower=True).T
+        SG = jnp.linalg.cholesky(Rh_i - SM @ SM.T)
+        return M, SM, SG
+
+    def scan_body(Lf, inputs):
+        Qh_i, Rh_i, Sh_i, A_i, B_i = inputs
+        M, SM, SG = stage_factor(Lf, Qh_i, Rh_i, Sh_i)
+        # AM = A inv(M)' (cc:153-159); P = (AM SM' - B) inv(SG)'
+        # (cc:170-179); L(i+1) = chol(sigma*I + P P' + AM AM') (cc:181-188).
+        AM = solve_tri(M, A_i.T, lower=True).T
+        P = solve_tri(SG, (AM @ SM.T - B_i).T, lower=True).T
+        L_next = jnp.linalg.cholesky(sigma * Ix + P @ P.T + AM @ AM.T)
+        return L_next, (Lf, M, SM, SG, AM, P)
+
+    # Base case L(0) = chol(sigma*I) = sqrt(sigma)*I (cc:127).
+    L0 = jnp.sqrt(jnp.asarray(sigma, dtype)) * Ix
+    L_N, (Ls, Ms, SMs, SGs, AMs, Ps) = lax.scan(
+        scan_body, L0, (Qh[:-1], Rh[:-1], Sh[:-1], d.A, d.B))
+
+    # Terminal stage i = N (cc:191-209).
+    M_N, SM_N, SG_N = stage_factor(L_N, Qh[N], Rh[N], Sh[N])
+
+    return RiccatiFactorization(
+        L=jnp.concatenate([Ls, L_N[None]], axis=0),
+        M=jnp.concatenate([Ms, M_N[None]], axis=0),
+        SM=jnp.concatenate([SMs, SM_N[None]], axis=0),
+        SG=jnp.concatenate([SGs, SG_N[None]], axis=0),
+        AM=AMs, P=Ps, gamma=gamma, mus=mus)
+
+
+def _riccati_factor_ok(fact: RiccatiFactorization):
+    """All stage Cholesky factorizations succeeded. XLA signals failure with
+    NaNs, which propagate through the scan (the jit analog of the LLT info
+    checks at riccati_linear_solver.cc:131-136)."""
+    ok_m = jnp.all(jnp.isfinite(jnp.diagonal(fact.M, axis1=-2, axis2=-1)))
+    ok_sg = jnp.all(jnp.isfinite(jnp.diagonal(fact.SG, axis1=-2, axis2=-1)))
+    ok_l = jnp.all(jnp.isfinite(jnp.diagonal(fact.L, axis1=-2, axis2=-1)))
+    return ok_m & ok_sg & ok_l
+
+
+def _riccati_solve(d: MpcQPData, fact: RiccatiFactorization, rz, rl, rv
+                   ) -> Variable:
+    """Forward/backward vector recursions + dual recovery
+    (reference: RiccatiLinearSolver::Solve,
+    riccati_linear_solver.cc:212-344)."""
+    N, nx, nu, nc = mpc_dims(d)
+    solve_tri = jax.scipy.linalg.solve_triangular
+
+    def cho_solve(Lf, b):
+        return solve_tri(Lf.T, solve_tri(Lf, b, lower=True), lower=False)
+
+    # Post-elimination residual r1 = rz - A'(rv./mus), r2 = -rl (cc:230-236).
+    r1 = rz - _gemvAT(d, rv / fact.mus)
+    r1s = r1.reshape(N + 1, nx + nu)
+    rx, ru = r1s[:, :nx], r1s[:, nx:]
+    r2 = (-rl).reshape(N + 1, nx)
+
+    # Forward recursion for theta / h (cc:239-262):
+    #   theta(0) = -rl(0); h(0) = inv(L L') theta(0) - rx(0)
+    #   tx = inv(M) h;  tu = inv(SG)(SM tx + ru)
+    #   theta(i+1) = P tu + AM tx + r2(i+1)
+    #   h(i+1) = inv(L L') theta(i+1) - rx(i+1)
+    th0 = r2[0]
+    h0 = cho_solve(fact.L[0], th0) - rx[0]
+
+    def fwd_body(h_i, inputs):
+        M_i, SM_i, SG_i, P_i, AM_i, L_n, ru_i, r2_n, rx_n = inputs
+        tx = solve_tri(M_i, h_i, lower=True)
+        tu = solve_tri(SG_i, SM_i @ tx + ru_i, lower=True)
+        th_n = P_i @ tu + AM_i @ tx + r2_n
+        h_n = cho_solve(L_n, th_n) - rx_n
+        return h_n, (th_n, h_n)
+
+    _, (th_tail, h_tail) = lax.scan(
+        fwd_body, h0,
+        (fact.M[:-1], fact.SM[:-1], fact.SG[:-1], fact.P, fact.AM,
+         fact.L[1:], ru[:-1], r2[1:], rx[1:]))
+    th = jnp.concatenate([th0[None], th_tail], axis=0)
+    h = jnp.concatenate([h0[None], h_tail], axis=0)
+
+    # Backward recursion base case, stage N (cc:266-293):
+    #   u(N) = inv(SG SG')(SM inv(M) h + ru)
+    #   x(N) = -inv(M')(inv(M) h + SM' u(N))
+    #   l(N) = -inv(L L')(x(N) + theta(N))
+    txN = solve_tri(fact.M[N], h[N], lower=True)
+    uN = cho_solve(fact.SG[N], fact.SM[N] @ txN + ru[N])
+    xN = -solve_tri(fact.M[N].T, txN + fact.SM[N].T @ uN, lower=False)
+    lN = -cho_solve(fact.L[N], xN + th[N])
+
+    # Main backward loop i = N-1..0 carrying l(i+1) (cc:297-327):
+    #   SG' u(i) = inv(SG)(SM inv(M) h + ru) + P' l(i+1)
+    #   -M' x(i) = inv(M) h + SM' u(i) + AM' l(i+1)
+    #   -L L' l(i) = theta(i) + x(i)
+    def bwd_body(l_next, inputs):
+        M_i, SM_i, SG_i, P_i, AM_i, L_i, h_i, th_i, ru_i = inputs
+        tx = solve_tri(M_i, h_i, lower=True)
+        ui = solve_tri(SG_i, SM_i @ tx + ru_i, lower=True)
+        ui = solve_tri(SG_i.T, ui + P_i.T @ l_next, lower=False)
+        xi = -solve_tri(
+            M_i.T, tx + SM_i.T @ ui + AM_i.T @ l_next, lower=False)
+        li = -cho_solve(L_i, th_i + xi)
+        return li, (xi, ui, li)
+
+    _, (xs, us, ls) = lax.scan(
+        bwd_body, lN,
+        (fact.M[:-1], fact.SM[:-1], fact.SG[:-1], fact.P, fact.AM,
+         fact.L[:-1], h[:-1], th[:-1], ru[:-1]),
+        reverse=True)
+
+    dzs = jnp.concatenate([
+        jnp.concatenate([xs, xN[None]], axis=0),
+        jnp.concatenate([us, uN[None]], axis=0)], axis=1)
+    dz = dzs.reshape(-1)
+    dl = jnp.concatenate([ls, lN[None]], axis=0).reshape(-1)
+
+    # Dual recovery (cc:329-342): dv = (rv + gamma .* A dz) ./ mus,
+    # dy = b - A dz.
+    Adz = _gemvA(d, dz)
+    dv = (rv + fact.gamma * Adz) / fact.mus
+    dy = _b_vec(d) - Adz
+    return Variable(z=dz, l=dl, v=dv, y=dy)
+
+
+MPC_OPS = ProblemOps(
+    gemvH=_gemvH, gemvA=_gemvA, gemvG=_gemvG, gemvAT=_gemvAT, gemvGT=_gemvGT,
+    f_vec=_f_vec, h_vec=_h_vec, b_vec=_b_vec, forcing_norm=_forcing_norm,
+    factor=_riccati_factor, factor_ok=_riccati_factor_ok,
+    newton_solve=_riccati_solve,
+)
+
+
+# ------------------------------------------------------------------
+# Functional entry points.
+# ------------------------------------------------------------------
+
+def solve_mpc_qp(data: MpcQPData, z0, l0, v0, options: Options = Options()):
+    """Jittable single-instance MPC solve. Returns (Variable, CoreOut)."""
+    return fbstab_solve(MPC_OPS, data, z0, l0, v0, options)
+
+
+def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
+                       options: Options = Options()):
+    """Batched MPC solve: leading batch axis on every data array and guess.
+    The TPU 'DP' analog of running one solver per control loop
+    (SURVEY.md section 2)."""
+    return jax.vmap(
+        lambda d, z, l, v: fbstab_solve(MPC_OPS, d, z, l, v, options)
+    )(data, z0, l0, v0)
+
+
+# ------------------------------------------------------------------
+# Facade (reference: FBstabMpc, fbstab_mpc.h:56).
+# ------------------------------------------------------------------
+
+class FBstabMpc:
+    """Allocate-once/solve-many facade for MPC QPs.
+
+    Sizes follow fbstab_mpc.cc:70-72: nz = (N+1)(nx+nu), nl = (N+1)nx,
+    nv = (N+1)nc. The jitted solve is cached per (sizes, options); warmstarts
+    thread the returned Variable back in, matching the reference's
+    overwrite-the-guess contract (fbstab_algorithm.h:129-142).
+    """
+
+    def __init__(self, N: int, nx: int, nu: int, nc: int,
+                 dtype=jnp.float64):
+        if N <= 0 or nx <= 0 or nu <= 0 or nc <= 0:
+            raise ValueError("FBstabMpc requires N, nx, nu, nc > 0.")
+        self.N, self.nx, self.nu, self.nc = N, nx, nu, nc
+        self.nz = (N + 1) * (nx + nu)
+        self.nl = (N + 1) * nx
+        self.nv = (N + 1) * nc
+        self.dtype = dtype
+        self._options = Options.default()
+        self._compiled = None
+
+    def update_options(self, options: Options) -> None:
+        """Reference: FBstabMpc::UpdateOptions (fbstab_mpc.cc:95-99)."""
+        self._options = options.validated()
+        self._compiled = None
+
+    @property
+    def options(self) -> Options:
+        return self._options
+
+    @staticmethod
+    def default_options() -> Options:
+        return Options.default()
+
+    @staticmethod
+    def reliable_options() -> Options:
+        return Options.reliable()
+
+    def _get_compiled(self):
+        if self._compiled is None:
+            opts = self._options
+            self._compiled = jax.jit(
+                lambda d, z, l, v: fbstab_solve(MPC_OPS, d, z, l, v, opts))
+        return self._compiled
+
+    def solve(self, data: MpcQPData, x0: Optional[Variable] = None
+              ) -> tuple[Variable, SolverOut]:
+        """Solves one MPC QP from the warmstart x0 (origin if omitted)."""
+        self._validate(data)
+        if x0 is None:
+            x0 = Variable(
+                z=jnp.zeros((self.nz,), self.dtype),
+                l=jnp.zeros((self.nl,), self.dtype),
+                v=jnp.zeros((self.nv,), self.dtype),
+                y=jnp.zeros((self.nv,), self.dtype))
+        fn = self._get_compiled()
+        t0 = time.perf_counter()
+        x, core = fn(data, x0.z, x0.l, x0.v)
+        jax.block_until_ready((x, core))
+        elapsed = time.perf_counter() - t0
+        out = SolverOut(
+            eflag=core.eflag, residual=core.residual,
+            newton_iters=core.newton_iters, prox_iters=core.prox_iters,
+            solve_time=jnp.asarray(elapsed),
+            initial_residual=core.initial_residual)
+        self._maybe_print_final(out)
+        return x, out
+
+    def _validate(self, data: MpcQPData) -> None:
+        N, nx, nu, nc = self.N, self.nx, self.nu, self.nc
+        expect = dict(
+            Q=(N + 1, nx, nx), R=(N + 1, nu, nu), S=(N + 1, nu, nx),
+            q=(N + 1, nx), r=(N + 1, nu),
+            A=(N, nx, nx), B=(N, nx, nu), c=(N, nx),
+            E=(N + 1, nc, nx), L=(N + 1, nc, nu), d=(N + 1, nc), x0=(nx,))
+        for name, want in expect.items():
+            got = tuple(getattr(data, name).shape)
+            if got != want:
+                raise ValueError(
+                    f"FBstabMpc.solve: {name} has shape {got}, "
+                    f"expected {want}.")
+
+    def _maybe_print_final(self, out: SolverOut) -> None:
+        from fbstab_tpu.utils.printing import print_final
+        print_final(out, self._options)
