@@ -1,0 +1,111 @@
+"""Headline benchmark: batched MPC QP throughput per chip.
+
+Workload per BASELINE.json config 4: a batch of MPC OCPs with nx=8, nu=3,
+N=30 (quadcopter-scale scenario MPC, input-box constrained), solved by the
+vmapped Riccati FBstab path in float32 on one chip. Baseline target:
+10,000 MPC QPs/sec/chip (BASELINE.json north_star; the reference publishes
+no numbers of its own, BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 10_000.0
+
+
+def build_batch(B: int, N: int, nx: int, nu: int, nc: int, dtype):
+    """B input-box-constrained OCP instances: shared stable plant, varied
+    initial states and cost offsets (scenario-MPC shape)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    # Stable-ish discrete dynamics and controllable input map.
+    A1 = np.eye(nx) + 0.08 * rng.standard_normal((nx, nx)) / np.sqrt(nx)
+    B1 = 0.2 * rng.standard_normal((nx, nu))
+    Q1 = np.eye(nx)
+    R1 = 0.1 * np.eye(nu)
+    S1 = np.zeros((nu, nx))
+    # Input box |u| <= 1 -> nc = 2*nu rows; pad with vacuous rows if nc
+    # exceeds 2*nu.
+    L1 = np.zeros((nc, nu))
+    L1[:nu, :] = np.eye(nu)
+    L1[nu:2 * nu, :] = -np.eye(nu)
+    E1 = np.zeros((nc, nx))
+    d1 = -np.ones(nc)
+
+    def tile(M, length):
+        return np.broadcast_to(M, (B, length) + M.shape).copy()
+
+    Np1 = N + 1
+    data = dict(
+        Q=tile(Q1, Np1), R=tile(R1, Np1), S=tile(S1, Np1),
+        q=0.1 * rng.standard_normal((B, Np1, nx)),
+        r=np.zeros((B, Np1, nu)),
+        A=tile(A1, N), B=tile(B1, N), c=np.zeros((B, N, nx)),
+        E=tile(E1, Np1), L=tile(L1, Np1), d=tile(d1, Np1),
+        x0=rng.standard_normal((B, nx)))
+
+    from fbstab_tpu.models.mpc_qp import MpcQPData
+    jdata = MpcQPData(**{k: jnp.asarray(v, dtype) for k, v in data.items()})
+
+    nz, nl, nv = Np1 * (nx + nu), Np1 * nx, Np1 * nc
+    z0 = jnp.zeros((B, nz), dtype)
+    l0 = jnp.zeros((B, nl), dtype)
+    v0 = jnp.zeros((B, nv), dtype)
+    return jdata, z0, l0, v0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.options import Options
+
+    platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    B = 256 if on_cpu else 8192
+    N, nx, nu, nc = 30, 8, 3, 6
+    dtype = jnp.float32
+    opts = Options.single_precision()
+
+    args = build_batch(B, N, nx, nu, nc, dtype)
+    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+
+    # Compile + warm up.
+    x, core = fn(*args)
+    jax.block_until_ready(core)
+    success = float(np.mean(np.asarray(core.eflag) == 0))
+    if success < 0.99:
+        print(f"bench: WARNING only {success:.1%} instances converged",
+              file=sys.stderr)
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        x, core = fn(*args)
+        jax.block_until_ready(core)
+        times.append(time.perf_counter() - t0)
+
+    qps = B / min(times)
+    print(f"bench: platform={platform} B={B} N={N} nx={nx} nu={nu} nc={nc} "
+          f"success={success:.3f} times={['%.3f' % t for t in times]}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "mpc_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "QPs/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,8 @@ class _InnerState(NamedTuple):
     merit_buf: jnp.ndarray    # (NONMONOTONE_DEPTH,)
     done: jnp.ndarray
     lin_fail: jnp.ndarray
+    Ei_best: jnp.ndarray      # best inner residual so far (stall guard)
+    stall_count: jnp.ndarray  # consecutive non-improving iterations
 
 
 def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
@@ -95,6 +97,17 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
         # Exit checks (impl.h:250-251 then :258).
         brk = (((Ei <= tol) & (Eo < Eouter)) | (Ei <= opts.inner_tol_min)
                | (s.newton_iters >= opts.max_newton_iters))
+
+        # f32 stall guard (TPU extension, see Options.inner_stall_tol):
+        # 3 consecutive iterations without relative progress => plateaued
+        # at the roundoff floor, hand control back to the outer loop.
+        if opts.inner_stall_tol > 0.0:
+            improved = Ei < s.Ei_best * (1.0 - opts.inner_stall_tol)
+            stall_count = jnp.where(improved, 0, s.stall_count + 1)
+            brk = brk | (stall_count >= 3)
+        else:
+            stall_count = s.stall_count
+        Ei_best = jnp.minimum(s.Ei_best, Ei)
 
         def newton_step(operand):
             x, merit_buf, n_iters = operand
@@ -141,7 +154,8 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
 
         return _InnerState(
             x=x_new, Eo=Eo, i=s.i + 1, newton_iters=n_new,
-            merit_buf=buf_new, done=brk, lin_fail=fail)
+            merit_buf=buf_new, done=brk, lin_fail=fail,
+            Ei_best=Ei_best, stall_count=stall_count)
 
     init = _InnerState(
         x=x0,
@@ -151,6 +165,8 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
         merit_buf=jnp.zeros((NONMONOTONE_DEPTH,), dtype),
         done=jnp.bool_(False),
         lin_fail=jnp.bool_(False),
+        Ei_best=jnp.asarray(jnp.inf, dtype),
+        stall_count=jnp.int32(0),
     )
     final = lax.while_loop(cond, body, init)
 

@@ -51,7 +51,26 @@ from fbstab_tpu.core.problem import ProblemOps
 from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.options import Options
 from fbstab_tpu.ops.pfb import pfb_weights
+from fbstab_tpu.ops.smallchol import (
+    UNROLL_LIMIT,
+    cholesky_small,
+    solve_triangular_small,
+)
 from fbstab_tpu.solver_out import SolverOut
+
+
+def _chol(A):
+    """Batched Cholesky: unrolled VPU kernel for the small stage matrices
+    (the common MPC case), XLA's blocked kernel beyond UNROLL_LIMIT."""
+    if A.shape[-1] <= UNROLL_LIMIT:
+        return cholesky_small(A)
+    return jnp.linalg.cholesky(A)
+
+
+def _tri(T, b, lower=True):
+    if T.shape[-1] <= UNROLL_LIMIT:
+        return solve_triangular_small(T, b, lower=lower)
+    return jax.scipy.linalg.solve_triangular(T, b, lower=lower)
 
 
 class MpcQPData(NamedTuple):
@@ -227,7 +246,7 @@ def _riccati_factor(d: MpcQPData, x: Variable, xbar: Variable, sigma, alpha
     dtype = d.Q.dtype
     Ix = jnp.eye(nx, dtype=dtype)
     Iu = jnp.eye(nu, dtype=dtype)
-    solve_tri = jax.scipy.linalg.solve_triangular
+    solve_tri = _tri
 
     gamma, mus, Gam = pfb_weights(x.y, x.v, xbar.v, sigma, alpha)
     Gs = Gam.reshape(N + 1, nc)
@@ -252,9 +271,9 @@ def _riccati_factor(d: MpcQPData, x: Variable, xbar: Variable, sigma, alpha
     def stage_factor(Lf, Qh_i, Rh_i, Sh_i):
         # M = chol(Qhat + inv(L L')); SM = Shat inv(M)';
         # SG = chol(Rhat - SM SM').  (cc:145-151, 160-168 / 212-228)
-        M = jnp.linalg.cholesky(Qh_i + cho_inverse(Lf))
+        M = _chol(Qh_i + cho_inverse(Lf))
         SM = solve_tri(M, Sh_i.T, lower=True).T
-        SG = jnp.linalg.cholesky(Rh_i - SM @ SM.T)
+        SG = _chol(Rh_i - SM @ SM.T)
         return M, SM, SG
 
     def scan_body(Lf, inputs):
@@ -264,7 +283,7 @@ def _riccati_factor(d: MpcQPData, x: Variable, xbar: Variable, sigma, alpha
         # (cc:170-179); L(i+1) = chol(sigma*I + P P' + AM AM') (cc:181-188).
         AM = solve_tri(M, A_i.T, lower=True).T
         P = solve_tri(SG, (AM @ SM.T - B_i).T, lower=True).T
-        L_next = jnp.linalg.cholesky(sigma * Ix + P @ P.T + AM @ AM.T)
+        L_next = _chol(sigma * Ix + P @ P.T + AM @ AM.T)
         return L_next, (Lf, M, SM, SG, AM, P)
 
     # Base case L(0) = chol(sigma*I) = sqrt(sigma)*I (cc:127).
@@ -299,7 +318,7 @@ def _riccati_solve(d: MpcQPData, fact: RiccatiFactorization, rz, rl, rv
     (reference: RiccatiLinearSolver::Solve,
     riccati_linear_solver.cc:212-344)."""
     N, nx, nu, nc = mpc_dims(d)
-    solve_tri = jax.scipy.linalg.solve_triangular
+    solve_tri = _tri
 
     def cho_solve(Lf, b):
         return solve_tri(Lf.T, solve_tri(Lf, b, lower=True), lower=False)

@@ -1,0 +1,128 @@
+"""Multi-chip sharded batch solving.
+
+The reference is single-threaded by contract (SURVEY.md section 2: zero
+threads/processes/devices; the solvers are documented "not thread safe",
+dense_cholesky_solver.h:27, riccati_linear_solver.h:47-48). Its users scale
+by running one solver instance per control loop. The TPU-native scaling
+story replaces that with:
+
+ 1. vmap over a batch of independent QP instances (per chip), and
+ 2. pjit/sharding of the batch axis over a `jax.sharding.Mesh` so XLA
+    partitions the solve across chips with zero communication in the hot
+    loop — instances are independent, so the only collectives are the
+    small post-solve reductions in `batch_stats` (done-mask all-reduce,
+    residual psum), which ride ICI.
+
+This module is backend-agnostic: the same code drives a TPU slice or the
+8-virtual-device CPU mesh used in tests
+(XLA_FLAGS=--xla_force_host_platform_device_count=8).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from fbstab_tpu.core.algorithm import fbstab_solve
+from fbstab_tpu.models.dense_qp import DENSE_OPS
+from fbstab_tpu.models.mpc_qp import MPC_OPS
+from fbstab_tpu.options import Options
+
+BATCH_AXIS = "batch"
+
+
+def make_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:
+    """A 1-D device mesh over the batch axis. For independent QP instances
+    a flat data-parallel mesh is the whole story: there is no tensor to
+    shard inside one (tiny) QP, so the mesh has a single axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = BATCH_AXIS):
+    """Places a pytree of batch-leading arrays with the batch axis sharded
+    over the mesh (remaining axes replicated). The batch size must divide
+    evenly by the mesh size; pad with duplicate instances otherwise."""
+    sharding = NamedSharding(mesh, PartitionSpec(axis_name))
+    return jax.device_put(tree, sharding)
+
+
+class BatchStats(NamedTuple):
+    """Batch-level convergence summary. Computing these from sharded solver
+    outputs under jit lowers to the done-mask/residual collectives over ICI
+    described in SURVEY.md section 2."""
+
+    num_instances: jnp.ndarray
+    num_success: jnp.ndarray        # eflag == SUCCESS count (done-mask sum)
+    num_infeasible: jnp.ndarray     # primal/dual/both infeasibility count
+    num_failed: jnp.ndarray         # maxiters + linear solver failures
+    max_residual: jnp.ndarray
+    mean_residual: jnp.ndarray
+    total_newton_iters: jnp.ndarray
+    max_newton_iters: jnp.ndarray
+
+
+def batch_stats(core_out) -> BatchStats:
+    """Reduces a batched CoreOut/SolverOut into BatchStats (jittable)."""
+    eflag = core_out.eflag
+    n = eflag.shape[0]
+    success = eflag == 0
+    infeas = (eflag >= 3) & (eflag <= 5)
+    return BatchStats(
+        num_instances=jnp.asarray(n, jnp.int32),
+        num_success=jnp.sum(success).astype(jnp.int32),
+        num_infeasible=jnp.sum(infeas).astype(jnp.int32),
+        num_failed=jnp.asarray(n, jnp.int32)
+        - jnp.sum(success | infeas).astype(jnp.int32),
+        max_residual=jnp.max(core_out.residual),
+        mean_residual=jnp.mean(core_out.residual),
+        total_newton_iters=jnp.sum(core_out.newton_iters),
+        max_newton_iters=jnp.max(core_out.newton_iters),
+    )
+
+
+def _make_sharded_solver(ops, mesh: Mesh, options: Options,
+                         axis_name: str, with_stats: bool):
+    spec = NamedSharding(mesh, PartitionSpec(axis_name))
+
+    def solve(data, z0, l0, v0):
+        x, core = jax.vmap(
+            lambda d, z, l, v: fbstab_solve(ops, d, z, l, v, options)
+        )(data, z0, l0, v0)
+        if with_stats:
+            return x, core, batch_stats(core)
+        return x, core
+
+    n_out = 3 if with_stats else 2
+    out_shardings = (spec, spec) + (
+        (NamedSharding(mesh, PartitionSpec()),) if with_stats else ())
+    return jax.jit(solve, in_shardings=(spec,) * 4,
+                   out_shardings=out_shardings[:n_out])
+
+
+def sharded_dense_solver(mesh: Mesh, options: Options = Options(),
+                         axis_name: str = BATCH_AXIS,
+                         with_stats: bool = True):
+    """Compiles a dense batch solver partitioned over the mesh.
+
+    Returns a function (data, z0, l0, v0) -> (Variable, CoreOut[, stats])
+    where every input carries a leading batch axis sharded per
+    `shard_batch`. The per-instance while_loops run masked lockstep within
+    each shard; shards never synchronize until the stats reduction.
+    """
+    return _make_sharded_solver(DENSE_OPS, mesh, options, axis_name,
+                                with_stats)
+
+
+def sharded_mpc_solver(mesh: Mesh, options: Options = Options(),
+                       axis_name: str = BATCH_AXIS,
+                       with_stats: bool = True):
+    """Compiles an MPC batch solver partitioned over the mesh (see
+    sharded_dense_solver)."""
+    return _make_sharded_solver(MPC_OPS, mesh, options, axis_name,
+                                with_stats)
