@@ -131,12 +131,12 @@ class Options:
         """
         return dataclasses.replace(
             Options(),
-            sigma0=1e-4,
+            sigma0=3e-4,
             sigma_max=1e-2,
             sigma_min=1e-6,
             abs_tol=1e-4,
             rel_tol=1e-6,
-            stall_tol=1e-7,
+            stall_tol=1e-6,
             infeas_tol=1e-6,
             inner_tol_min=1e-7,
             inner_stall_tol=1e-3,
