@@ -64,7 +64,15 @@ def build_batch(B: int, N: int, nx: int, nu: int, nc: int, dtype):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the fused Pallas kernel has a long
+    # one-time Mosaic compile; cache it across bench invocations.
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch

@@ -111,9 +111,13 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
 
         def newton_step(operand):
             x, merit_buf, n_iters = operand
-            fact = ops.factor(data, x, xbar, sigma, alpha)
-            ok = ops.factor_ok(fact)
-            dx = ops.newton_solve(data, fact, -ri.z, -ri.l, -ri.v)
+            if ops.newton_step is not None:
+                dx, ok = ops.newton_step(
+                    data, x, xbar, sigma, alpha, -ri.z, -ri.l, -ri.v)
+            else:
+                fact = ops.factor(data, x, xbar, sigma, alpha)
+                ok = ops.factor_ok(fact)
+                dx = ops.newton_solve(data, fact, -ri.z, -ri.l, -ri.v)
 
             # Nonmonotone merit history (impl.h:277-280).
             current_merit = 0.5 * Ei * Ei

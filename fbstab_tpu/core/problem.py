@@ -62,3 +62,9 @@ class ProblemOps(NamedTuple):
     factor: Callable[..., Any]
     factor_ok: Callable[[Any], Any]
     newton_solve: Callable[..., Variable]
+    # Optional fused Newton step replacing factor + factor_ok + newton_solve
+    # in one call: (data, x, xbar, sigma, alpha, rz, rl, rv) -> (dx, ok)
+    # with (rz, rl, rv) the negated inner residual. QP classes provide this
+    # when they have a fused kernel (the MPC path's Pallas Riccati kernel);
+    # None means the algorithm uses the three-call contract.
+    newton_step: Any = None

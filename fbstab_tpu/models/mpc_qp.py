@@ -38,6 +38,8 @@ l = [l(0); ...; l(N)], v = [v(0); ...; v(N)].
 
 from __future__ import annotations
 
+import functools
+import os
 import time
 from typing import NamedTuple, Optional
 
@@ -242,13 +244,18 @@ def _riccati_factor(d: MpcQPData, x: Variable, xbar: Variable, sigma, alpha
     """Barrier-augmented stage Hessians + forward Riccati matrix recursion
     (reference: RiccatiLinearSolver::Initialize,
     riccati_linear_solver.cc:77-210)."""
+    return _riccati_factor_yv(d, x.y, x.v, xbar.v, sigma, alpha)
+
+
+def _riccati_factor_yv(d: MpcQPData, y, v, vbar, sigma, alpha
+                       ) -> RiccatiFactorization:
     N, nx, nu, nc = mpc_dims(d)
     dtype = d.Q.dtype
     Ix = jnp.eye(nx, dtype=dtype)
     Iu = jnp.eye(nu, dtype=dtype)
     solve_tri = _tri
 
-    gamma, mus, Gam = pfb_weights(x.y, x.v, xbar.v, sigma, alpha)
+    gamma, mus, Gam = pfb_weights(y, v, vbar, sigma, alpha)
     Gs = Gam.reshape(N + 1, nc)
 
     # Barrier-augmented Hessian, batched over stages
@@ -395,11 +402,87 @@ def _riccati_solve(d: MpcQPData, fact: RiccatiFactorization, rz, rl, rv
     return Variable(z=dz, l=dl, v=dv, y=dy)
 
 
+# ------------------------------------------------------------------
+# Fused Newton step: sequential scan implementation single-instance, the
+# Pallas mega-kernel (ops/riccati_pallas.py) when batched on TPU. The
+# custom_vmap boundary is what lets the vmapped solver swap the whole
+# batched computation for one fused kernel call instead of per-instance
+# grid steps.
+# ------------------------------------------------------------------
+
+# "auto": Pallas kernel for f32 TPU batches; "off": always the scan path;
+# "interpret": kernel in interpreter mode (CPU testing).
+PALLAS_MODE = os.environ.get("FBSTAB_PALLAS", "auto")
+
+
+def _kernel_eligible(dtype, nx, nu, nc) -> bool:
+    if PALLAS_MODE == "off":
+        return False
+    if PALLAS_MODE == "interpret":
+        return True
+    return (jax.default_backend() == "tpu" and dtype == jnp.float32
+            and nx <= 16 and nu <= 16 and nc <= 32)
+
+
+def _fused_step_impl(d, v, y, vbar, rz, rl, rv, sigma, alpha):
+    fact = _riccati_factor_yv(d, y, v, vbar, sigma, alpha)
+    ok = _riccati_factor_ok(fact)
+    dx = _riccati_solve(d, fact, rz, rl, rv)
+    return dx.z, dx.l, dx.v, dx.y, ok
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_step(alpha: float):
+    from jax.custom_batching import custom_vmap
+
+    step = custom_vmap(
+        lambda d, v, y, vbar, rz, rl, rv, sigma: _fused_step_impl(
+            d, v, y, vbar, rz, rl, rv, sigma, alpha))
+
+    @step.def_vmap
+    def _rule(axis_size, in_batched, d, v, y, vbar, rz, rl, rv, sigma):
+        data_b = all(jax.tree.leaves(in_batched[0]))
+        vecs_b = all(in_batched[1:7])
+        sigma_b = in_batched[7]
+        # mpc_dims reads trailing axes, so batched leaves are fine as-is.
+        N, nx, nu, nc = mpc_dims(d)
+        if (data_b and vecs_b and not sigma_b and v.ndim == 2
+                and _kernel_eligible(v.dtype, nx, nu, nc)):
+            from fbstab_tpu.ops.riccati_pallas import (
+                riccati_newton_step_batched)
+            dz, dl, dv, dy = riccati_newton_step_batched(
+                d, v, y, vbar, rz, rl, rv, sigma, alpha,
+                interpret=(PALLAS_MODE == "interpret"))
+            ok = (jnp.all(jnp.isfinite(dz), axis=1)
+                  & jnp.all(jnp.isfinite(dl), axis=1))
+            return (dz, dl, dv, dy, ok), (True,) * 5
+        # General fallback: vmap the sequential implementation with the
+        # original batching pattern.
+        axes = tuple(jax.tree.map(lambda b: 0 if b else None, f)
+                     for f in in_batched)
+        out = jax.vmap(
+            functools.partial(_fused_step_impl, alpha=alpha),
+            in_axes=axes)(d, v, y, vbar, rz, rl, rv, sigma)
+        return out, (True,) * 5
+
+    return step
+
+
+def _mpc_newton_step(d, x: Variable, xbar: Variable, sigma, alpha, rz, rl,
+                     rv):
+    """ProblemOps.newton_step for the MPC class: returns (dx, ok)."""
+    step = _make_fused_step(float(alpha))
+    dz, dl, dv, dy, ok = step(d, x.v, x.y, xbar.v, rz, rl, rv,
+                              jnp.asarray(sigma, x.v.dtype))
+    return Variable(z=dz, l=dl, v=dv, y=dy), ok
+
+
 MPC_OPS = ProblemOps(
     gemvH=_gemvH, gemvA=_gemvA, gemvG=_gemvG, gemvAT=_gemvAT, gemvGT=_gemvGT,
     f_vec=_f_vec, h_vec=_h_vec, b_vec=_b_vec, forcing_norm=_forcing_norm,
     factor=_riccati_factor, factor_ok=_riccati_factor_ok,
     newton_solve=_riccati_solve,
+    newton_step=_mpc_newton_step,
 )
 
 

@@ -1,0 +1,438 @@
+"""Fused Pallas TPU kernel for the Riccati Newton step.
+
+One kernel performs, for a tile of QP instances living in the lane
+dimension, the entire Newton-step linear solve of the MPC path:
+
+  PFB weights -> barrier-augmented stage Hessians -> forward Riccati matrix
+  recursion -> forward vector recursion -> backward substitution -> dual
+  recovery
+
+i.e. the work of RiccatiLinearSolver::Initialize + ::Solve in the reference
+(riccati_linear_solver.cc:77-344), with identical recurrences. See
+fbstab_tpu/models/mpc_qp.py for the stage-by-stage semantics; this module
+only changes *where* the arithmetic runs.
+
+Why a mega-kernel: the XLA implementation is a `lax.scan` whose body is
+~100 tiny (nx, nx)-shaped ops. On TPU every HLO on such shapes costs ~1-2us
+of fixed overhead and the sequential scan prevents pipelining, so a
+30-stage factorization costs ~10ms/iteration regardless of batch width —
+and at large batch the scan's stacked stage workspaces blow past VMEM and
+spill (measured 33x cliff from B=1024 to B=2048). Inside one Pallas kernel
+the same arithmetic is a stream of VPU vector instructions on
+(sublane, lane) = (n, TILE_B) registers with all stage state held in VMEM
+scratch: no per-op dispatch, no HBM round trips, and batch scaling is
+linear in grid steps.
+
+Layout: batch-LAST everywhere inside the kernel. A stage matrix is
+(n, n, TILE_B): n x n occupies sublanes, TILE_B = 128 instances occupy
+lanes, so an unrolled small-matrix op is one (8, 128) VPU tile op across
+128 QP instances. The host-side wrapper transposes from the solver's
+batch-first layout (XLA hoists the loop-invariant data transposes out of
+the Newton while-loop).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fbstab_tpu.ops.pfb import ZERO_TOLERANCE
+
+TILE_B = 128
+
+
+# ------------------------------------------------------------------
+# Batch-last small-matrix algebra. All operands are (n, m, B) or (n, B)
+# jnp values inside the kernel; loops over the small dims are unrolled so
+# every op is a full-lane VPU instruction.
+# ------------------------------------------------------------------
+
+def _T(A):
+    """Transpose the matrix dims of a (n, m, B) stack."""
+    return jnp.swapaxes(A, 0, 1)
+
+
+def _mm(A, B):
+    """(m, k, B) @ (k, n, B) -> (m, n, B), unrolled over m and k."""
+    m, k, _ = A.shape
+    rows = []
+    for i in range(m):
+        acc = A[i, 0][None, :] * B[0]
+        for kk in range(1, k):
+            acc = acc + A[i, kk][None, :] * B[kk]
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
+def _mv(A, x):
+    """(m, k, B) @ (k, B) -> (m, B)."""
+    m, k, _ = A.shape
+    rows = []
+    for i in range(m):
+        acc = A[i, 0] * x[0]
+        for kk in range(1, k):
+            acc = acc + A[i, kk] * x[kk]
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
+def _chol(A):
+    """Lower Cholesky of a (n, n, B) SPD stack, unrolled (same recurrence
+    as ops/smallchol.py, batch-last)."""
+    n = A.shape[0]
+    cols = []
+    for k in range(n):
+        dinv = lax.rsqrt(A[k, k])
+        col = A[:, k] * dinv[None, :]
+        if k > 0:
+            col = jnp.concatenate([
+                jnp.zeros((k,) + col.shape[1:], col.dtype), col[k:]],
+                axis=0)
+        cols.append(col)
+        A = A - col[:, None, :] * col[None, :, :]
+    return jnp.stack(cols, axis=1)
+
+
+def _tri_lower(L, b):
+    """Solve L x = b, L (n, n, B) lower, b (n, B) or (n, m, B)."""
+    n = L.shape[0]
+    xs = [None] * n
+    r = b
+    for k in range(n):
+        if r.ndim == 3:
+            xk = r[k] / L[k, k][None, :]                # (m, B)
+            contrib = L[:, k][:, None, :] * xk[None]    # (n, m, B)
+        else:
+            xk = r[k] / L[k, k]                         # (B,)
+            contrib = L[:, k] * xk[None]                # (n, B)
+        r = r - contrib
+        xs[k] = xk
+    return jnp.stack(xs)
+
+
+def _tri_upperT(L, b):
+    """Solve L' x = b given the lower factor L."""
+    n = L.shape[0]
+    xs = [None] * n
+    r = b
+    for k in range(n - 1, -1, -1):
+        # Column k of L' is row k of L: L'[i, k] = L[k, i].
+        if r.ndim == 3:
+            xk = r[k] / L[k, k][None, :]
+            contrib = L[k, :][:, None, :] * xk[None]
+        else:
+            xk = r[k] / L[k, k]
+            contrib = L[k, :] * xk[None]
+        r = r - contrib
+        xs[k] = xk
+    return jnp.stack(xs)
+
+
+def _cho_solve(L, b):
+    return _tri_upperT(L, _tri_lower(L, b))
+
+
+def _solve_right_LT(X, M):
+    """X inv(M)' for lower M: solve M Y' = X' -> Y = (_tri_lower(M, X'))'."""
+    return _T(_tri_lower(M, _T(X)))
+
+
+def _pfb_weights(ys, v, sigma, alpha):
+    """gamma, mus per constraint (dense_cholesky_solver.cc:129-148 /
+    riccati_linear_solver.cc:346-365, batch-last elementwise)."""
+    r = jnp.sqrt(ys * ys + v * v)
+    degenerate = r < ZERO_TOLERANCE
+    r_safe = jnp.where(degenerate, 1.0, r)
+    ga = alpha * (1.0 - ys / r_safe)
+    gb = alpha * (1.0 - v / r_safe)
+    interior = (ys > 0) & (v > 0)
+    ga = jnp.where(interior, ga + (1.0 - alpha) * v, ga)
+    gb = jnp.where(interior, gb + (1.0 - alpha) * ys, gb)
+    dgn = alpha * (1.0 - 1.0 / jnp.sqrt(jnp.asarray(2.0, ys.dtype)))
+    ga = jnp.where(degenerate, dgn, ga)
+    gb = jnp.where(degenerate, dgn, gb)
+    gamma = ga
+    mus = gb + sigma * ga
+    return gamma, mus
+
+
+# ------------------------------------------------------------------
+# The kernel.
+# ------------------------------------------------------------------
+
+def _newton_step_kernel(
+        # scalar (SMEM)
+        sigma_ref,
+        # data (batch-last blocks)
+        Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
+        # iterate
+        v_ref, y_ref, vbar_ref,
+        # negated inner residual
+        rz_ref, rl_ref, rv_ref,
+        # outputs
+        dz_ref, dl_ref,
+        # scratch: per-stage factor storage
+        Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
+        th_ref, h_ref,
+        *, N, nx, nu, nc, alpha):
+    """Factor + solve for one batch tile. Dual recovery (dv, dy) happens
+    outside the kernel as wide XLA einsums; the per-stage PFB weights and
+    post-elimination residual are recomputed where needed instead of being
+    stored, trading a few VPU ops for ~2 MB of VMEM scratch."""
+    sigma = sigma_ref[0, 0]
+    f32 = Q_ref.dtype
+    B_lanes = Q_ref.shape[-1]
+
+    Ix = jnp.broadcast_to(
+        jnp.eye(nx, dtype=f32)[..., None], (nx, nx, B_lanes))
+    Iu = jnp.broadcast_to(
+        jnp.eye(nu, dtype=f32)[..., None], (nu, nu, B_lanes))
+
+    def stage_weights(i):
+        """(gamma, mus) at stage i (riccati_linear_solver.cc:91-99)."""
+        vi = v_ref[i]
+        ys = y_ref[i] + sigma * (vi - vbar_ref[i])
+        return _pfb_weights(ys, vi, sigma, alpha)
+
+    def stage_r1(i, mus_i):
+        """r1(i) = rz(i) - [E(i); L(i)]'(rv(i) ./ mus(i))
+        (riccati_linear_solver.cc:230-235), split into (x, u) parts."""
+        rvm = rv_ref[i] / mus_i                       # (nc, B)
+        Ei = E_ref[i]
+        Li = L_ref[i]
+        etv = Ei[0] * rvm[0][None]
+        ltv = Li[0] * rvm[0][None]
+        for c in range(1, nc):
+            etv = etv + Ei[c] * rvm[c][None]
+            ltv = ltv + Li[c] * rvm[c][None]
+        return rz_ref[i, :nx] - etv, rz_ref[i, nx:] - ltv
+
+    def stage_hessians(i):
+        """Qhat, Rhat, Shat at stage i (riccati_linear_solver.cc:101-123)."""
+        gamma, mus = stage_weights(i)
+        Gi = gamma / mus                              # (nc, B)
+        Ei = E_ref[i]
+        Li = L_ref[i]
+        GE = Gi[:, None, :] * Ei                      # (nc, nx, B)
+        GL = Gi[:, None, :] * Li                      # (nc, nu, B)
+        Qh = Q_ref[i] + sigma * Ix + _mm(_T(Ei), GE)
+        Rh = R_ref[i] + sigma * Iu + _mm(_T(Li), GL)
+        Sh = S_ref[i] + _mm(_T(Li), GE)
+        return Qh, Rh, Sh
+
+    def stage_factor(Lf, i):
+        """M, SM, SG at stage i from the carried Riccati factor Lf
+        (riccati_linear_solver.cc:140-151, 191-209)."""
+        Qh, Rh, Sh = stage_hessians(i)
+        Linv = _cho_solve(Lf, Ix)
+        M = _chol(Qh + Linv)
+        SM = _solve_right_LT(Sh, M)
+        SG = _chol(Rh - _mm(SM, _T(SM)))
+        return M, SM, SG
+
+    # ---- Forward matrix recursion (cc:125-188). ----
+    L0 = jnp.sqrt(sigma) * Ix
+
+    def fwd_mat_body(i, Lf):
+        M, SM, SG = stage_factor(Lf, i)
+        AM = _solve_right_LT(A_ref[i], M)
+        P = _solve_right_LT(_mm(AM, _T(SM)) - B_ref[i], SG)
+        L_next = _chol(sigma * Ix + _mm(P, _T(P)) + _mm(AM, _T(AM)))
+        Lc_ref[i] = Lf
+        Mc_ref[i] = M
+        SMc_ref[i] = SM
+        SGc_ref[i] = SG
+        AMc_ref[i] = AM
+        Pc_ref[i] = P
+        return L_next
+
+    L_N = lax.fori_loop(0, N, fwd_mat_body, L0)
+    M_N, SM_N, SG_N = stage_factor(L_N, N)
+    Lc_ref[N] = L_N
+    Mc_ref[N] = M_N
+    SMc_ref[N] = SM_N
+    SGc_ref[N] = SG_N
+
+    # ---- Forward vector recursion (cc:239-262). ----
+    _, mus0 = stage_weights(0)
+    r1x0, _ = stage_r1(0, mus0)
+    th0 = -rl_ref[0]                  # r2(0) = -rl(0)
+    h0 = _cho_solve(L0, th0) - r1x0
+    th_ref[0] = th0
+    h_ref[0] = h0
+
+    def fwd_vec_body(i, h_i):
+        _, mus_i = stage_weights(i)
+        _, r1u_i = stage_r1(i, mus_i)
+        tx = _tri_lower(Mc_ref[i], h_i)
+        tu = _tri_lower(SGc_ref[i], _mv(SMc_ref[i], tx) + r1u_i)
+        th_n = _mv(Pc_ref[i], tu) + _mv(AMc_ref[i], tx) - rl_ref[i + 1]
+        _, mus_n = stage_weights(i + 1)
+        r1x_n, _ = stage_r1(i + 1, mus_n)
+        h_n = _cho_solve(Lc_ref[i + 1], th_n) - r1x_n
+        th_ref[i + 1] = th_n
+        h_ref[i + 1] = h_n
+        return h_n
+
+    h_N = lax.fori_loop(0, N, fwd_vec_body, h0)
+
+    # ---- Backward recursion (cc:266-327). ----
+    _, mus_N = stage_weights(N)
+    _, r1u_N = stage_r1(N, mus_N)
+    txN = _tri_lower(M_N, h_N)
+    uN = _cho_solve(SG_N, _mv(SM_N, txN) + r1u_N)
+    xN = -_tri_upperT(M_N, txN + _mv(_T(SM_N), uN))
+    lN = -_cho_solve(L_N, xN + th_ref[N])
+    dz_ref[N, :nx] = xN
+    dz_ref[N, nx:] = uN
+    dl_ref[N] = lN
+
+    def bwd_body(k, l_next):
+        i = N - 1 - k
+        M = Mc_ref[i]
+        SM = SMc_ref[i]
+        SG = SGc_ref[i]
+        _, mus_i = stage_weights(i)
+        _, r1u_i = stage_r1(i, mus_i)
+        tx = _tri_lower(M, h_ref[i])
+        ui = _tri_lower(SG, _mv(SM, tx) + r1u_i)
+        ui = _tri_upperT(SG, ui + _mv(_T(Pc_ref[i]), l_next))
+        xi = -_tri_upperT(
+            M, tx + _mv(_T(SM), ui) + _mv(_T(AMc_ref[i]), l_next))
+        li = -_cho_solve(Lc_ref[i], th_ref[i] + xi)
+        dz_ref[i, :nx] = xi
+        dz_ref[i, nx:] = ui
+        dl_ref[i] = li
+        return li
+
+    lax.fori_loop(0, N, bwd_body, lN)
+
+
+# ------------------------------------------------------------------
+# Host-side wrapper.
+# ------------------------------------------------------------------
+
+def _to_bl(a):
+    """batch-first (B, ...) -> batch-last (..., B)."""
+    return jnp.moveaxis(a, 0, -1)
+
+
+def _from_bl(a):
+    return jnp.moveaxis(a, -1, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("alpha", "interpret", "tile_b"))
+def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
+                                alpha: float, interpret: bool = False,
+                                tile_b: int = TILE_B):
+    """Batched fused Newton step.
+
+    data: MpcQPData with leading batch dim B on every leaf.
+    v, y, vbar: (B, nv) iterate pieces; rz, rl, rv: (B, nz/nl/nv) the
+    *negated* inner residual; sigma: scalar.
+    Returns (dz, dl, dv, dy) batch-first.
+    """
+    B = v.shape[0]
+    N = data.A.shape[1]
+    nx = data.A.shape[-1]
+    nu = data.B.shape[-1]
+    nc = data.E.shape[-2]
+    N1 = N + 1
+    ns = nx + nu
+    dtype = v.dtype
+
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    pad = Bp - B
+
+    def prep(a, shape):
+        a = a.reshape((B,) + shape)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        return _to_bl(a)
+
+    Qb = prep(data.Q, (N1, nx, nx))
+    Rb = prep(data.R, (N1, nu, nu))
+    Sb = prep(data.S, (N1, nu, nx))
+    Ab = prep(data.A, (N, nx, nx))
+    Bb = prep(data.B, (N, nx, nu))
+    Eb = prep(data.E, (N1, nc, nx))
+    Lb = prep(data.L, (N1, nc, nu))
+    vb = prep(v, (N1, nc))
+    yb = prep(y, (N1, nc))
+    vbarb = prep(vbar, (N1, nc))
+    rzb = prep(rz, (N1, ns))
+    rlb = prep(rl, (N1, nx))
+    rvb = prep(rv, (N1, nc))
+
+    sig = jnp.asarray(sigma, dtype).reshape(1, 1)
+
+    grid = (Bp // tile_b,)
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape + (tile_b,),
+            (lambda *i, _nd=nd: (0,) * _nd + (i[0],)),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        spec((N1, nx, nx)), spec((N1, nu, nu)), spec((N1, nu, nx)),
+        spec((N, nx, nx)), spec((N, nx, nu)),
+        spec((N1, nc, nx)), spec((N1, nc, nu)),
+        spec((N1, nc)), spec((N1, nc)), spec((N1, nc)),
+        spec((N1, ns)), spec((N1, nx)), spec((N1, nc)),
+    ]
+    out_specs = (spec((N1, ns)), spec((N1, nx)))
+    out_shape = (
+        jax.ShapeDtypeStruct((N1, ns, Bp), dtype),
+        jax.ShapeDtypeStruct((N1, nx, Bp), dtype),
+    )
+    scratch = [
+        pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
+        pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Mc
+        pltpu.VMEM((N1, nu, nx, tile_b), dtype),   # SMc
+        pltpu.VMEM((N1, nu, nu, tile_b), dtype),   # SGc
+        pltpu.VMEM((N, nx, nx, tile_b), dtype),    # AMc
+        pltpu.VMEM((N, nx, nu, tile_b), dtype),    # Pc
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # th
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # h
+    ]
+
+    kernel = functools.partial(
+        _newton_step_kernel, N=N, nx=nx, nu=nu, nc=nc, alpha=alpha)
+
+    dz_t, dl_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(sig, Qb, Rb, Sb, Ab, Bb, Eb, Lb, vb, yb, vbarb, rzb, rlb, rvb)
+
+    dz = _from_bl(dz_t)[:B].reshape(B, N1 * ns)
+    dl = _from_bl(dl_t)[:B].reshape(B, N1 * nx)
+
+    # Dual recovery outside the kernel (riccati_linear_solver.cc:329-342):
+    # these are wide batched einsums, cheap in XLA and not worth VMEM.
+    ys = y + jnp.asarray(sigma, dtype) * (v - vbar)
+    from fbstab_tpu.ops.pfb import pfb_gradient
+    g, m0 = pfb_gradient(ys, v, alpha)
+    gamma = g
+    mus = m0 + jnp.asarray(sigma, dtype) * g
+    dzs = dz.reshape(B, N1, ns)
+    Adz = (jnp.einsum("bscj,bsj->bsc", data.E, dzs[:, :, :nx])
+           + jnp.einsum("bscj,bsj->bsc", data.L, dzs[:, :, nx:])
+           ).reshape(B, N1 * nc)
+    dv = (rv + gamma * Adz) / mus
+    dy = -data.d.reshape(B, N1 * nc) - Adz
+    return dz, dl, dv, dy
