@@ -1,0 +1,116 @@
+"""Receding-horizon (closed-loop MPC) driver with warmstart carry.
+
+The reference's documented workflow (README.md:20) is: one FBstabMpc object
+per control loop, fed a new x0 each step, with the previous solution left in
+the output variable as the next warmstart. This module packages that
+workflow TPU-style:
+
+ - the warmstart is an explicit solution pytree threaded between jitted
+   solve() calls (the SURVEY.md section 5 "checkpoint/resume" equivalent —
+   the carry is trivially checkpointable),
+ - `shift_warmstart` implements the standard MPC shift-by-one-stage
+   initialization (advance every stage sequence by one, repeat the terminal
+   stage), which the reference leaves to the user,
+ - `simulate` runs the full closed loop x+ = A x + B u* + c under the
+   solver, batched over scenarios via vmap: the "receding-horizon sweep"
+   workload of BASELINE.json config 2.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fbstab_tpu.core.algorithm import fbstab_solve
+from fbstab_tpu.core.variable import Variable
+from fbstab_tpu.models.mpc_qp import MPC_OPS, MpcQPData, mpc_dims
+from fbstab_tpu.options import Options
+
+
+def shift_warmstart(x: Variable, data: MpcQPData) -> Variable:
+    """Shifts a solution one stage forward for the next MPC step.
+
+    Stage i takes the previous solution's stage i+1; the terminal stage is
+    repeated. The constraint margin y is reinitialized as b - A z for the
+    shifted z (the margin identity cannot be shifted algebraically because
+    b is stage-dependent)."""
+    N, nx, nu, nc = mpc_dims(data)
+    ns = nx + nu
+
+    def shift(a, n):
+        s = a.reshape(N + 1, n)
+        return jnp.concatenate([s[1:], s[-1:]], axis=0).reshape(-1)
+
+    z = shift(x.z, ns)
+    l = shift(x.l, nx)
+    v = shift(x.v, nc)
+    y = MPC_OPS.b_vec(data) - MPC_OPS.gemvA(data, z)
+    return Variable(z=z, l=l, v=v, y=y)
+
+
+class ClosedLoopResult(NamedTuple):
+    """Trajectories from a receding-horizon run. Leading axis is time."""
+
+    x: jnp.ndarray            # (T+1, nx) closed-loop states
+    u: jnp.ndarray            # (T, nu) applied inputs
+    eflag: jnp.ndarray        # (T,) per-step solver status
+    residual: jnp.ndarray     # (T,)
+    newton_iters: jnp.ndarray  # (T,) per-step Newton iterations
+    prox_iters: jnp.ndarray   # (T,)
+
+
+def simulate(data: MpcQPData, T: int, options: Options = Options(),
+             x0: Optional[jnp.ndarray] = None,
+             shift: bool = True) -> ClosedLoopResult:
+    """Runs T closed-loop MPC steps, jit-compatible and vmappable.
+
+    Each step solves the OCP from the current state, applies u*(0) to the
+    plant x+ = A(0) x + B(0) u + c(0), and warmstarts the next solve from
+    the (optionally shifted) previous solution. The plant model is the
+    stage-0 dynamics of `data`, matching the reference's LTI simulation
+    fixtures (ocp_generator.h SimulationInputs).
+    """
+    N, nx, nu, nc = mpc_dims(data)
+    ns = nx + nu
+    nz, nl, nv = (N + 1) * ns, (N + 1) * nx, (N + 1) * nc
+    dtype = data.Q.dtype
+    opts = options.validated()
+
+    if x0 is None:
+        x0 = data.x0
+    x0 = jnp.asarray(x0, dtype)
+
+    guess0 = Variable(
+        z=jnp.zeros(nz, dtype), l=jnp.zeros(nl, dtype),
+        v=jnp.zeros(nv, dtype), y=jnp.zeros(nv, dtype))
+
+    def step(carry, _):
+        xk, guess = carry
+        d = data._replace(x0=xk)
+        sol, core = fbstab_solve(MPC_OPS, d, guess.z, guess.l, guess.v, opts)
+        u = sol.z.reshape(N + 1, ns)[0, nx:]
+        x_next = data.A[0] @ xk + data.B[0] @ u + data.c[0]
+        nxt = shift_warmstart(sol, d) if shift else sol
+        return (x_next, nxt), (x_next, u, core.eflag, core.residual,
+                               core.newton_iters, core.prox_iters)
+
+    (_, _), (xs, us, eflags, residuals, newtons, proxs) = lax.scan(
+        step, (x0, guess0), None, length=T)
+
+    return ClosedLoopResult(
+        x=jnp.concatenate([x0[None], xs], axis=0),
+        u=us, eflag=eflags, residual=residuals,
+        newton_iters=newtons, prox_iters=proxs)
+
+
+def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
+                   options: Options = Options(),
+                   shift: bool = True) -> ClosedLoopResult:
+    """Scenario sweep: runs `simulate` for a batch of initial states over a
+    shared plant/problem (leading axis of x0s = scenarios)."""
+    return jax.vmap(
+        lambda x0: simulate(data, T, options, x0=x0, shift=shift)
+    )(x0s)
