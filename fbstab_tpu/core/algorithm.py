@@ -94,6 +94,14 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
         rk = penalized_natural_residual(ops, data, s.x, alpha)
         Eo = residual_norm(rk)
 
+        # Detailed inner-iteration lines (reference: PrintIterDetailed,
+        # fbstab_algorithm-impl.h:443-489). Static gate: zero cost unless
+        # enabled.
+        if opts.display_level == Display.ITER_DETAILED:
+            jax.debug.print(
+                "  inner {i:>4}  newton {n:>5}  |ri| {e:>12.4e}  "
+                "tol {t:>12.4e}", i=s.i, n=s.newton_iters, e=Ei, t=tol)
+
         # Exit checks (impl.h:250-251 then :258).
         brk = (((Ei <= tol) & (Eo < Eouter)) | (Ei <= opts.inner_tol_min)
                | (s.newton_iters >= opts.max_newton_iters))
@@ -233,7 +241,7 @@ def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
         # Success / stall exit (impl.h:162-169).
         success = (Ek <= combo_tol) | (var_norm(s.dx) <= opts.stall_tol)
 
-        if opts.display_level == Display.ITER:
+        if opts.display_level >= Display.ITER:
             jax.debug.print(
                 "prox {k:>4}  newton {n:>5}  |r| {e:>12.4e}  itol {t:>12.4e}",
                 k=s.prox_iters, n=s.newton_iters, e=Ek, t=s.inner_tol)
