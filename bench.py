@@ -63,6 +63,65 @@ def build_batch(B: int, N: int, nx: int, nu: int, nc: int, dtype):
     return jdata, z0, l0, v0
 
 
+def build_dense_batch(B: int, n: int, q: int, dtype):
+    """B random strictly convex inequality-constrained dense QPs
+    (BASELINE.json config 3: 4096 QPs, n=32, q=64)."""
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.dense_qp import DenseQPData
+
+    rng = np.random.default_rng(1)
+    M = rng.standard_normal((B, n, n))
+    H = M @ np.transpose(M, (0, 2, 1)) / n + 2.0 * np.eye(n)
+    f = rng.standard_normal((B, n))
+    A = rng.standard_normal((B, q, n))
+    b = np.abs(rng.standard_normal((B, q))) + 0.5   # origin feasible
+    data = DenseQPData(
+        H=jnp.asarray(H, dtype), f=jnp.asarray(f, dtype),
+        G=jnp.zeros((B, 0, n), dtype), h=jnp.zeros((B, 0), dtype),
+        A=jnp.asarray(A, dtype), b=jnp.asarray(b, dtype))
+    z0 = jnp.zeros((B, n), dtype)
+    l0 = jnp.zeros((B, 0), dtype)
+    v0 = jnp.zeros((B, q), dtype)
+    return data, z0, l0, v0
+
+
+def run_dense(B=None):
+    """Secondary benchmark (python bench.py dense): batched dense QPs."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
+    from fbstab_tpu.options import Options
+
+    platform = jax.devices()[0].platform
+    if B is None:
+        B = 256 if platform == "cpu" else 4096
+    dtype = jnp.float32
+    opts = Options.single_precision()
+    args = build_dense_batch(B, 32, 64, dtype)
+    fn = jax.jit(lambda d, z, l, v: solve_dense_qp_batch(d, z, l, v, opts))
+    data, z0, l0, v0 = args
+    x, core = fn(data, z0, l0, v0)
+    success = float(np.mean(np.asarray(core.eflag) == 0))
+    times = []
+    for i in range(1, 4):
+        fresh = data._replace(f=data.f * (1.0 + 1e-6 * i))
+        t0 = time.perf_counter()
+        x, core = fn(fresh, z0, l0, v0)
+        np.asarray(core.residual)
+        times.append(time.perf_counter() - t0)
+    qps = B / min(times)
+    print(f"bench[dense]: platform={platform} B={B} success={success:.3f} "
+          f"times={['%.3f' % t for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "dense_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "QPs/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
 def main():
     import os
 
@@ -118,4 +177,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "dense":
+        run_dense()
+    else:
+        main()
