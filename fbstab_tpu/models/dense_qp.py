@@ -35,7 +35,27 @@ from fbstab_tpu.core.problem import ProblemOps
 from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.options import Options
 from fbstab_tpu.ops.pfb import pfb_weights
+from fbstab_tpu.ops.smallchol import (
+    UNROLL_LIMIT,
+    cholesky_small,
+    solve_triangular_small,
+)
 from fbstab_tpu.solver_out import SolverOut
+
+
+def _chol(A):
+    """Unrolled batched Cholesky for small systems (XLA's blocked kernel
+    has ~ms serialized latency on TPU for tiny matrices, see
+    ops/smallchol.py), XLA beyond UNROLL_LIMIT."""
+    if A.shape[-1] <= UNROLL_LIMIT:
+        return cholesky_small(A)
+    return jnp.linalg.cholesky(A)
+
+
+def _tri(T, b, lower=True):
+    if T.shape[-1] <= UNROLL_LIMIT:
+        return solve_triangular_small(T, b, lower=lower)
+    return jax.scipy.linalg.solve_triangular(T, b, lower=lower)
 
 
 class DenseQPData(NamedTuple):
@@ -118,13 +138,13 @@ def _factor(d: DenseQPData, x: Variable, xbar: Variable, sigma, alpha
     # E = H + sigma*I + A' * diag(Gamma) * A
     E = d.H + sigma * jnp.eye(nz, dtype=d.H.dtype)
     E = E + d.A.T @ (Gamma[:, None] * d.A)
-    Le = jnp.linalg.cholesky(E)
+    Le = _chol(E)
 
     # W = Le^{-1} G',  S = sigma*I + W'W  (SPD Schur complement of E in K).
-    W = jax.scipy.linalg.solve_triangular(Le, d.G.T, lower=True)
+    W = _tri(Le, d.G.T, lower=True)
     nl = d.G.shape[0]
     S = sigma * jnp.eye(nl, dtype=d.H.dtype) + W.T @ W
-    Ls = jnp.linalg.cholesky(S)
+    Ls = _chol(S)
 
     return DenseFactorization(Le=Le, W=W, Ls=Ls, gamma=gamma, mus=mus,
                               sigma=jnp.asarray(sigma, d.H.dtype))
@@ -152,7 +172,7 @@ def _newton_solve(d: DenseQPData, fact: DenseFactorization, rz, rl, rv
     via block elimination:  u = Le^{-1} r1;  (W'W + sI) dl = W'u - r2;
     E dz = r1 - G' dl.
     """
-    solve_tri = jax.scipy.linalg.solve_triangular
+    solve_tri = _tri
 
     r1 = rz - d.A.T @ (rv / fact.mus)
     r2 = -rl

@@ -36,6 +36,8 @@ def cholesky_small(A: jnp.ndarray) -> jnp.ndarray:
     unrolled over n; every step is a batched elementwise op.
     """
     n = A.shape[-1]
+    if n == 0:  # the nl = 0 corner of the dense saddle system
+        return A
     dtype = A.dtype
     cols = []
     for k in range(n):
@@ -62,6 +64,8 @@ def solve_triangular_small(L: jnp.ndarray, b: jnp.ndarray,
     batched axpy on the running residual.
     """
     n = L.shape[-1]
+    if n == 0:
+        return b
     vec = b.ndim == L.ndim - 1
     r = b[..., None] if vec else b
     order = range(n) if lower else range(n - 1, -1, -1)
