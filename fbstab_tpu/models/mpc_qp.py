@@ -105,6 +105,54 @@ def mpc_dims(d: MpcQPData) -> tuple[int, int, int, int]:
     return N, nx, nu, nc
 
 
+class MpcQPDataT(NamedTuple):
+    """MpcQPData plus batch-last ("T") copies of the stage matrices.
+
+    The Pallas Newton-step kernel wants the batch in the lane (last)
+    dimension; transposing inside the Newton loop would pay a strided
+    HBM pass per iteration (measured ~10x slowdown at B=2048). The batched
+    solver builds this extended pytree ONCE per solve, outside the loops —
+    the transposed leaves ride along as loop invariants. The matrix-free
+    operators only touch the batch-first fields, so MpcQPDataT is accepted
+    anywhere MpcQPData is.
+    """
+
+    Q: jnp.ndarray
+    R: jnp.ndarray
+    S: jnp.ndarray
+    q: jnp.ndarray
+    r: jnp.ndarray
+    A: jnp.ndarray
+    B: jnp.ndarray
+    c: jnp.ndarray
+    E: jnp.ndarray
+    L: jnp.ndarray
+    d: jnp.ndarray
+    x0: jnp.ndarray
+    QT: jnp.ndarray  # (N+1, nx, nx, B)
+    RT: jnp.ndarray  # (N+1, nu, nu, B)
+    ST: jnp.ndarray  # (N+1, nu, nx, B)
+    AT: jnp.ndarray  # (N, nx, nx, B)
+    BT: jnp.ndarray  # (N, nx, nu, B)
+    ET: jnp.ndarray  # (N+1, nc, nx, B)
+    LT: jnp.ndarray  # (N+1, nc, nu, B)
+
+
+def with_transposed(data: MpcQPData) -> MpcQPDataT:
+    """Extends batch-first MPC data with batch-last stage-matrix copies."""
+    t = lambda a: jnp.moveaxis(a, 0, -1)
+    return MpcQPDataT(
+        **data._asdict(),
+        QT=t(data.Q), RT=t(data.R), ST=t(data.S),
+        AT=t(data.A), BT=t(data.B), ET=t(data.E), LT=t(data.L))
+
+
+# vmap in_axes for MpcQPDataT: base fields batch-first, T fields batch-last.
+_DATA_T_AXES = MpcQPDataT(
+    Q=0, R=0, S=0, q=0, r=0, A=0, B=0, c=0, E=0, L=0, d=0, x0=0,
+    QT=-1, RT=-1, ST=-1, AT=-1, BT=-1, ET=-1, LT=-1)
+
+
 def mpc_qp_data(Q, R, S, q, r, A, B, c, E, L, d, x0,
                 dtype=jnp.float64) -> MpcQPData:
     """Builds an MpcQPData pytree with size validation mirroring
@@ -499,9 +547,15 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
                        options: Options = Options()):
     """Batched MPC solve: leading batch axis on every data array and guess.
     The TPU 'DP' analog of running one solver per control loop
-    (SURVEY.md section 2)."""
+    (SURVEY.md section 2).
+
+    Builds the batch-last stage-matrix copies once, outside the solver
+    loops, so the Pallas kernel path reads them as loop invariants."""
+    if not isinstance(data, MpcQPDataT):
+        data = with_transposed(data)
     return jax.vmap(
-        lambda d, z, l, v: fbstab_solve(MPC_OPS, d, z, l, v, options)
+        lambda d, z, l, v: fbstab_solve(MPC_OPS, d, z, l, v, options),
+        in_axes=(_DATA_T_AXES, 0, 0, 0),
     )(data, z0, l0, v0)
 
 

@@ -357,13 +357,19 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
                 [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
         return _to_bl(a)
 
-    Qb = prep(data.Q, (N1, nx, nx))
-    Rb = prep(data.R, (N1, nu, nu))
-    Sb = prep(data.S, (N1, nu, nx))
-    Ab = prep(data.A, (N, nx, nx))
-    Bb = prep(data.B, (N, nx, nu))
-    Eb = prep(data.E, (N1, nc, nx))
-    Lb = prep(data.L, (N1, nc, nu))
+    # Stage matrices: when the caller pre-transposed them (MpcQPDataT built
+    # outside the Newton loop), custom_vmap canonicalization has applied
+    # moveaxis(-1, 0); prep's moveaxis(0, -1) cancels it exactly, so the
+    # kernel reads the loop-invariant batch-last buffers with no per-call
+    # transpose (pad == 0 keeps the chain transparent to XLA).
+    has_t = hasattr(data, "QT")
+    Qb = prep(data.QT if has_t else data.Q, (N1, nx, nx))
+    Rb = prep(data.RT if has_t else data.R, (N1, nu, nu))
+    Sb = prep(data.ST if has_t else data.S, (N1, nu, nx))
+    Ab = prep(data.AT if has_t else data.A, (N, nx, nx))
+    Bb = prep(data.BT if has_t else data.B, (N, nx, nu))
+    Eb = prep(data.ET if has_t else data.E, (N1, nc, nx))
+    Lb = prep(data.LT if has_t else data.L, (N1, nc, nu))
     vb = prep(v, (N1, nc))
     yb = prep(y, (N1, nc))
     vbarb = prep(vbar, (N1, nc))
