@@ -165,26 +165,24 @@ def _pfb_weights(ys, v, sigma, alpha):
 # The kernel.
 # ------------------------------------------------------------------
 
-def _newton_step_kernel(
-        # scalar (SMEM)
-        sigma_ref,
-        # data (batch-last blocks)
+def riccati_factor_solve(
+        sigma,
         Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
-        # iterate
         v_ref, y_ref, vbar_ref,
-        # negated inner residual
         rz_ref, rl_ref, rv_ref,
-        # outputs
         dz_ref, dl_ref,
-        # scratch: per-stage factor storage
         Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
         th_ref, h_ref,
         *, N, nx, nu, nc, alpha):
-    """Factor + solve for one batch tile. Dual recovery (dv, dy) happens
-    outside the kernel as wide XLA einsums; the per-stage PFB weights and
+    """In-kernel Riccati factor + solve over one batch tile (batch-last).
+
+    Reads the iterate pieces (v, y, vbar) and the NEGATED inner residual
+    from refs, writes (dz, dl) into the output refs. Reused by both the
+    standalone Newton-step kernel and the full-solve kernel
+    (ops/mpc_solve_pallas.py). Per-stage PFB weights and the
     post-elimination residual are recomputed where needed instead of being
-    stored, trading a few VPU ops for ~2 MB of VMEM scratch."""
-    sigma = sigma_ref[0, 0]
+    stored, trading a few VPU ops for ~2 MB of VMEM scratch.
+    """
     f32 = Q_ref.dtype
     B_lanes = Q_ref.shape[-1]
 
@@ -311,6 +309,28 @@ def _newton_step_kernel(
         return li
 
     lax.fori_loop(0, N, bwd_body, lN)
+
+
+def _newton_step_kernel(
+        sigma_ref,
+        Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
+        v_ref, y_ref, vbar_ref,
+        rz_ref, rl_ref, rv_ref,
+        dz_ref, dl_ref,
+        Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
+        th_ref, h_ref,
+        *, N, nx, nu, nc, alpha):
+    """Standalone Newton-step kernel: one riccati_factor_solve per tile.
+    Dual recovery (dv, dy) happens outside as wide XLA einsums."""
+    riccati_factor_solve(
+        sigma_ref[0, 0],
+        Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
+        v_ref, y_ref, vbar_ref,
+        rz_ref, rl_ref, rv_ref,
+        dz_ref, dl_ref,
+        Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
+        th_ref, h_ref,
+        N=N, nx=nx, nu=nu, nc=nc, alpha=alpha)
 
 
 # ------------------------------------------------------------------
