@@ -10,18 +10,20 @@ vector op while every XLA HLO in a `lax.while_loop` body costs ~10-100 us
 of dispatch/memory overhead; with ~500 HLOs per Newton iteration the
 XLA-orchestrated solver spends >99% of its time on op overhead. Fusing the
 whole algorithm turns each Newton iteration into ~10^4 VPU instructions on
-(sublane, lane) tiles, i.e. ~100 us per 128-instance tile.
+(sublane, lane) tiles.
 
 Semantics: a lane-for-lane transcription of core/algorithm.py (which in
-turn mirrors the reference fbstab_algorithm-impl.h:113-304, see that
-module's docstring) in masked-lockstep form — the same per-instance value
-evolution as `vmap(fbstab_solve)`, validated in interpret mode against it.
-The stage-structured operators are the batch-last analogs of
-models/mpc_qp.py's einsums; the Newton step reuses
-ops/riccati_pallas.riccati_factor_solve.
+turn mirrors the reference fbstab_algorithm-impl.h:113-304) in
+masked-lockstep form — the same per-instance value evolution as
+`vmap(fbstab_solve)`, validated in interpret mode against it. The Newton
+step reuses ops/riccati_pallas.riccati_factor_solve.
 
-Shapes inside the kernel (batch-last): stage vectors are (N+1, d, TILE_B),
-per-instance scalars are (TILE_B,) vectors.
+Mosaic compatibility notes: state lives in 2-D (rows, TILE_B) arrays —
+per-instance scalars are (TILE_B,) vectors broadcast via [None, :] — and
+the stage-structured matvecs unroll the small matrix dimension with
+column slices of (N+1, n, m, TILE_B) data, the same access patterns the
+Newton-step kernel compiles cleanly with (4-D middle-axis broadcasts hit
+Mosaic's unimplemented sublane broadcast).
 """
 
 from __future__ import annotations
@@ -44,6 +46,28 @@ from fbstab_tpu.solver_out import ExitFlag
 TILE_B = 128
 
 
+def _stage_matvec(M, w, n, m):
+    """out(s) = M(s) @ w(s) per stage: M (N1, n, m, B), w (N1*m, B)
+    -> (N1*n, B). Unrolled over the m columns; every op is a 3-D
+    elementwise with a (N1, 1, B) sublane broadcast (Mosaic-supported)."""
+    N1 = M.shape[0]
+    ws = w.reshape(N1, m, M.shape[-1])
+    acc = M[:, :, 0] * ws[:, 0][:, None]
+    for j in range(1, m):
+        acc = acc + M[:, :, j] * ws[:, j][:, None]
+    return acc.reshape(N1 * n, M.shape[-1])
+
+
+def _stage_matvec_T(M, w, n, m):
+    """out(s) = M(s)' @ w(s): M (N1, n, m, B), w (N1*n, B) -> (N1*m, B)."""
+    N1 = M.shape[0]
+    ws = w.reshape(N1, n, M.shape[-1])
+    acc = M[:, 0] * ws[:, 0][:, None]
+    for i in range(1, n):
+        acc = acc + M[:, i] * ws[:, i][:, None]
+    return acc.reshape(N1 * m, M.shape[-1])
+
+
 def _make_solve_kernel(N, nx, nu, nc, opts: Options):
     """Builds the kernel body closure for static dims + options."""
     Np1 = N + 1
@@ -61,54 +85,65 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                rz_s, rl_s, rv_s, xv_s, xy_s, vb_s, dz_s, dl_s,
                Lc, Mc, SMc, SGc, AMc, Pc, th_s, h_s):
         f32 = Q_ref.dtype
+        Bl = Q_ref.shape[-1]
 
-        # ---------- stage-structured operators (batch-last) ----------
-        def gemvH(vx, vu):
+        # ---------- stage-structured operators (2-D state) ----------
+        def gemvH(zx, zu):
             Q = Q_ref[...]
             S = S_ref[...]
             R = R_ref[...]
-            yx = (jnp.sum(Q * vx[:, None], axis=2)
-                  + jnp.sum(S * vu[:, :, None], axis=1))
-            yu = (jnp.sum(S * vx[:, None], axis=2)
-                  + jnp.sum(R * vu[:, None], axis=2))
+            yx = (_stage_matvec(Q, zx, nx, nx)
+                  + _stage_matvec_T(S, zu, nu, nx))
+            yu = (_stage_matvec(S, zx, nu, nx)
+                  + _stage_matvec(R, zu, nu, nu))
             return yx, yu
 
-        def gemvA(vx, vu):
-            return (jnp.sum(E_ref[...] * vx[:, None], axis=2)
-                    + jnp.sum(L_ref[...] * vu[:, None], axis=2))
+        def gemvA(zx, zu):
+            return (_stage_matvec(E_ref[...], zx, nc, nx)
+                    + _stage_matvec(L_ref[...], zu, nc, nu))
 
-        def gemvG(vx, vu):
+        def gemvG(zx, zu):
+            A = A_ref[...]          # (N, nx, nx, B)
+            Bm = B_ref[...]         # (N, nx, nu, B)
+            zxs = zx.reshape(Np1, nx, Bl)
+            zus = zu.reshape(Np1, nu, Bl)
+            tail = (_stage_matvec(A, zxs[:-1].reshape(N * nx, Bl), nx, nx)
+                    .reshape(N, nx, Bl)
+                    + _stage_matvec(Bm, zus[:-1].reshape(N * nu, Bl),
+                                    nx, nu).reshape(N, nx, Bl)
+                    - zxs[1:])
+            return jnp.concatenate([-zxs[:1], tail],
+                                   axis=0).reshape(Np1 * nx, Bl)
+
+        def gemvGT(l):
             A = A_ref[...]
             Bm = B_ref[...]
-            tail = (jnp.sum(A * vx[:-1][:, None], axis=2)
-                    + jnp.sum(Bm * vu[:-1][:, None], axis=2)
-                    - vx[1:])
-            return jnp.concatenate([-vx[:1], tail], axis=0)
-
-        def gemvGT(vl):
-            A = A_ref[...]
-            Bm = B_ref[...]
-            atv = jnp.sum(A * vl[1:][:, :, None], axis=1)
-            btv = jnp.sum(Bm * vl[1:][:, :, None], axis=1)
-            zx = jnp.zeros((1, nx) + vl.shape[2:], f32)
-            zu = jnp.zeros((1, nu) + vl.shape[2:], f32)
-            yx = -vl + jnp.concatenate([atv, zx], axis=0)
+            ls = l.reshape(Np1, nx, Bl)
+            lp = ls[1:].reshape(N * nx, Bl)
+            atv = _stage_matvec_T(A, lp, nx, nx).reshape(N, nx, Bl)
+            btv = _stage_matvec_T(Bm, lp, nx, nu).reshape(N, nu, Bl)
+            zx = jnp.zeros((1, nx, Bl), f32)
+            zu = jnp.zeros((1, nu, Bl), f32)
+            yx = -ls + jnp.concatenate([atv, zx], axis=0)
             yu = jnp.concatenate([btv, zu], axis=0)
+            return yx.reshape(Np1 * nx, Bl), yu.reshape(Np1 * nu, Bl)
+
+        def gemvAT(v):
+            yx = _stage_matvec_T(E_ref[...], v, nc, nx)
+            yu = _stage_matvec_T(L_ref[...], v, nc, nu)
             return yx, yu
 
-        def gemvAT(vv):
-            yx = jnp.sum(E_ref[...] * vv[:, :, None], axis=1)
-            yu = jnp.sum(L_ref[...] * vv[:, :, None], axis=1)
-            return yx, yu
-
-        fx = q_ref[...]
-        fu = r_ref[...]
-        hh = -jnp.concatenate([x0_ref[...][None], c_ref[...]], axis=0)
-        bb = -d_ref[...]
+        fx = q_ref[...].reshape(Np1 * nx, Bl)
+        fu = r_ref[...].reshape(Np1 * nu, Bl)
+        hh = -jnp.concatenate(
+            [x0_ref[...][None], c_ref[...]], axis=0).reshape(Np1 * nx, Bl)
+        bb = -d_ref[...].reshape(Np1 * nc, Bl)
 
         def ssum(a):
-            """Sum of squares over all but the lane axis -> (B,)."""
-            return jnp.sum(a * a, axis=tuple(range(a.ndim - 1)))
+            return jnp.sum(a * a, axis=0)      # (B,)
+
+        def imax(a):
+            return jnp.max(jnp.abs(a), axis=0)  # (B,)
 
         forcing = jnp.sqrt(ssum(fx) + ssum(fu) + ssum(hh) + ssum(bb))
         combo_tol = opts.abs_tol + opts.rel_tol * (1.0 + forcing)
@@ -139,18 +174,13 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             rzx, rzu, rl, rv = r4
             return jnp.sqrt(ssum(rzx) + ssum(rzu) + ssum(rl) + ssum(rv))
 
-        def imax(a):
-            """inf-norm over all but lanes -> (B,)."""
-            return jnp.max(jnp.abs(a), axis=tuple(range(a.ndim - 1)))
-
         def sel(m, a, b):
-            """Per-instance select: m (B,), a/b stage arrays or (B,)."""
+            """Per-instance select: m (B,); a/b (B,) or (rows, B)."""
             if a.ndim == 1:
                 return jnp.where(m, a, b)
-            shape = (1,) * (a.ndim - 1) + (m.shape[0],)
-            return jnp.where(m.reshape(shape), a, b)
+            return jnp.where(m[None, :], a, b)
 
-        X = tuple  # state = (zx, zu, l, v, y)
+        X = tuple  # state = (zx, zu, l, v, y), all 2-D (rows, B)
 
         def sel_x(m, a, b):
             return X(sel(m, ai, bi) for ai, bi in zip(a, b))
@@ -158,13 +188,13 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
         def newton_step(zx, zu, l, v, y, bv, rzx, rzu, rl, rv):
             """Writes -r into scratch, runs the Riccati factor/solve,
             returns (dzx, dzu, dl, dv, dy, ok)."""
-            rz_s[:, :nx] = -rzx
-            rz_s[:, nx:] = -rzu
-            rl_s[...] = -rl
-            rv_s[...] = -rv
-            xv_s[...] = v
-            xy_s[...] = y
-            vb_s[...] = bv
+            rz_s[:, :nx] = (-rzx).reshape(Np1, nx, Bl)
+            rz_s[:, nx:] = (-rzu).reshape(Np1, nu, Bl)
+            rl_s[...] = (-rl).reshape(Np1, nx, Bl)
+            rv_s[...] = (-rv).reshape(Np1, nc, Bl)
+            xv_s[...] = v.reshape(Np1, nc, Bl)
+            xy_s[...] = y.reshape(Np1, nc, Bl)
+            vb_s[...] = bv.reshape(Np1, nc, Bl)
             riccati_factor_solve(
                 jnp.asarray(sigma, f32),
                 Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
@@ -172,8 +202,9 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                 Lc, Mc, SMc, SGc, AMc, Pc, th_s, h_s,
                 N=N, nx=nx, nu=nu, nc=nc, alpha=alpha)
             dz = dz_s[...]
-            dzx, dzu = dz[:, :nx], dz[:, nx:]
-            dl = dl_s[...]
+            dzx = dz[:, :nx].reshape(Np1 * nx, Bl)
+            dzu = dz[:, nx:].reshape(Np1 * nu, Bl)
+            dl = dl_s[...].reshape(Np1 * nx, Bl)
             # Dual recovery (riccati_linear_solver.cc:329-342).
             ys = y + sigma * (v - bv)
             rr = jnp.sqrt(ys * ys + v * v)
@@ -191,15 +222,17 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             Adz = gemvA(dzx, dzu)
             dv = (-rv + ga * Adz) / mus
             dy = bb - Adz
-            ok = ~(jnp.any(jnp.isnan(dz), axis=(0, 1))
-                   | jnp.any(jnp.isnan(dl), axis=(0, 1)))
+            ok = ~(jnp.any(jnp.isnan(dzx), axis=0)
+                   | jnp.any(jnp.isnan(dzu), axis=0)
+                   | jnp.any(jnp.isnan(dl), axis=0))
             return dzx, dzu, dl, dv, dy, ok
 
         # ---------- initialization (impl.h:139-149) ----------
         z0 = z0_ref[...]
-        zx0, zu0 = z0[:, :nx], z0[:, nx:]
-        l0 = l0_ref[...]
-        v0 = v0_ref[...]
+        zx0 = z0[:, :nx].reshape(Np1 * nx, Bl)
+        zu0 = z0[:, nx:].reshape(Np1 * nu, Bl)
+        l0 = l0_ref[...].reshape(Np1 * nx, Bl)
+        v0 = v0_ref[...].reshape(Np1 * nc, Bl)
         y0 = bb - gemvA(zx0, zu0)
         xk0 = X((zx0, zu0, l0, v0, y0))
 
@@ -212,7 +245,6 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
         e0_out[...] = E0[None]
         itol0 = jnp.clip(E0, opts.inner_tol_min, opts.inner_tol_max)
 
-        Bl = E0.shape[0]
         i32 = jnp.int32
         zeros_i = jnp.zeros((Bl,), i32)
         false_b = jnp.zeros((Bl,), jnp.bool_)
@@ -260,13 +292,12 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
                 def lbody(lc):
                     j, t, _, _ = lc
-                    # Trial point x + t*dx with the margin rule
+                    tb = t[None, :]
+                    # Trial x + t*dx with the margin rule
                     # y <- y + t*(dy - b) (full_variable.cc:55-65).
-                    xp = X((xi[0] + t.reshape((1, 1, Bl)) * dzx,
-                            xi[1] + t.reshape((1, 1, Bl)) * dzu,
-                            xi[2] + t.reshape((1, 1, Bl)) * dl,
-                            xi[3] + t.reshape((1, 1, Bl)) * dv,
-                            xi[4] + t.reshape((1, 1, Bl)) * (dy - bb)))
+                    xp = X((xi[0] + tb * dzx, xi[1] + tb * dzu,
+                            xi[2] + tb * dl, xi[3] + tb * dv,
+                            xi[4] + tb * (dy - bb)))
                     rp = inner_residual(*xp, xbar[0], xbar[1], xbar[2],
                                         xbar[3])
                     np_ = rnorm(rp)
@@ -281,7 +312,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                     (i32(0), jnp.ones((Bl,), f32), jnp.bool_(True),
                      false_b))
 
-                tm = jnp.where(step, t_fin, 0.0).reshape((1, 1, Bl))
+                tm = jnp.where(step, t_fin, 0.0)[None, :]
                 xi_new = X((xi[0] + tm * dzx, xi[1] + tm * dzu,
                             xi[2] + tm * dl, xi[3] + tm * dv,
                             xi[4] + tm * (dy - bb)))
@@ -336,12 +367,12 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             if opts.check_feasibility:
                 dzx_, dzu_, dl_, dv_ = (dx_new[0], dx_new[1], dx_new[2],
                                         dx_new[3])
-                d1 = jnp.max(gemvA(dzx_, dzu_), axis=(0, 1))
+                d1 = jnp.max(gemvA(dzx_, dzu_), axis=0)
                 d2 = imax(gemvG(dzx_, dzu_))
                 d3x, d3u = gemvH(dzx_, dzu_)
                 d3 = jnp.maximum(imax(d3x), imax(d3u))
-                d4 = (jnp.sum(fx * dzx_, axis=(0, 1))
-                      + jnp.sum(fu * dzu_, axis=(0, 1)))
+                d4 = (jnp.sum(fx * dzx_, axis=0)
+                      + jnp.sum(fu * dzu_, axis=0))
                 w = jnp.maximum(imax(dzx_), imax(dzu_))
                 tol_i = opts.infeas_tol
                 d_inf = ((d1 <= w * tol_i) & (d2 <= tol_i * w)
@@ -349,8 +380,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                 p1x, p1u = gemvAT(dv_)
                 g1x, g1u = gemvGT(dl_)
                 p1 = jnp.maximum(imax(p1x + g1x), imax(p1u + g1u))
-                p2 = (jnp.sum(hh * dl_, axis=(0, 1))
-                      + jnp.sum(bb * dv_, axis=(0, 1)))
+                p2 = (jnp.sum(hh * dl_, axis=0)
+                      + jnp.sum(bb * dv_, axis=0))
                 uu = jnp.maximum(imax(dv_), imax(dl_))
                 p_inf = (p1 <= tol_i * uu) & (p2 < 0)
             else:
@@ -408,11 +439,11 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
         eflag_fin = jnp.where(done_f, eflag_f,
                               i32(int(ExitFlag.MAXITERATIONS)))
 
-        z_out[:, :nx] = out_x[0]
-        z_out[:, nx:] = out_x[1]
-        l_out[...] = out_x[2]
-        v_out[...] = out_x[3]
-        y_out[...] = out_x[4]
+        z_out[:, :nx] = out_x[0].reshape(Np1, nx, Bl)
+        z_out[:, nx:] = out_x[1].reshape(Np1, nu, Bl)
+        l_out[...] = out_x[2].reshape(Np1, nx, Bl)
+        v_out[...] = out_x[3].reshape(Np1, nc, Bl)
+        y_out[...] = out_x[4].reshape(Np1, nc, Bl)
         eflag_out[...] = eflag_fin[None]
         res_out[...] = out_res[None]
         newton_out[...] = ninfo_f[None]
