@@ -140,10 +140,10 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
         bb = -d_ref[...].reshape(Np1 * nc, Bl)
 
         def ssum(a):
-            return jnp.sum(a * a, axis=0)      # (B,)
+            return jnp.sum(a * a, axis=0, keepdims=True)       # (1, B)
 
         def imax(a):
-            return jnp.max(jnp.abs(a), axis=0)  # (B,)
+            return jnp.max(jnp.abs(a), axis=0, keepdims=True)  # (1, B)
 
         forcing = jnp.sqrt(ssum(fx) + ssum(fu) + ssum(hh) + ssum(bb))
         combo_tol = opts.abs_tol + opts.rel_tol * (1.0 + forcing)
@@ -175,10 +175,16 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             return jnp.sqrt(ssum(rzx) + ssum(rzu) + ssum(rl) + ssum(rv))
 
         def sel(m, a, b):
-            """Per-instance select: m (B,); a/b (B,) or (rows, B)."""
-            if a.ndim == 1:
+            """Per-instance select: m (1, B) bool; a/b (1, B) or
+            (rows, B). Row-broadcast selects expand the mask explicitly
+            with an add-broadcast (Mosaic supports sublane broadcast for
+            arithmetic but not for select_n)."""
+            if a.shape[0] == m.shape[0]:
                 return jnp.where(m, a, b)
-            return jnp.where(m[None, :], a, b)
+            mf = jnp.zeros(a.shape, a.dtype if a.dtype != jnp.int32
+                           else jnp.float32)
+            mf = mf + m.astype(mf.dtype)
+            return jnp.where(mf > 0.5, a, b)
 
         X = tuple  # state = (zx, zu, l, v, y), all 2-D (rows, B)
 
@@ -222,9 +228,9 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             Adz = gemvA(dzx, dzu)
             dv = (-rv + ga * Adz) / mus
             dy = bb - Adz
-            ok = ~(jnp.any(jnp.isnan(dzx), axis=0)
-                   | jnp.any(jnp.isnan(dzu), axis=0)
-                   | jnp.any(jnp.isnan(dl), axis=0))
+            ok = ~(jnp.any(jnp.isnan(dzx), axis=0, keepdims=True)
+                   | jnp.any(jnp.isnan(dzu), axis=0, keepdims=True)
+                   | jnp.any(jnp.isnan(dl), axis=0, keepdims=True))
             return dzx, dzu, dl, dv, dy, ok
 
         # ---------- initialization (impl.h:139-149) ----------
@@ -242,12 +248,12 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                  bb - gemvA(ones_zx, ones_zu)))
 
         E0 = rnorm(pnr(*xk0))
-        e0_out[...] = E0[None]
+        e0_out[...] = E0
         itol0 = jnp.clip(E0, opts.inner_tol_min, opts.inner_tol_max)
 
         i32 = jnp.int32
-        zeros_i = jnp.zeros((Bl,), i32)
-        false_b = jnp.zeros((Bl,), jnp.bool_)
+        zeros_i = jnp.zeros((1, Bl), i32)
+        false_b = jnp.zeros((1, Bl), jnp.bool_)
 
         # ---------- inner subproblem (impl.h:229-304) ----------
         def solve_subproblem(xk, xbar, itol, Ek_outer, newton0, active):
@@ -281,9 +287,9 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
                 current_merit = 0.5 * Ei * Ei
                 buf = jnp.concatenate(
-                    [current_merit[None], merit_buf[:-1]], axis=0)
+                    [current_merit, merit_buf[:-1]], axis=0)
                 if opts.nonmonotone_linesearch:
-                    m0 = jnp.max(buf, axis=0)
+                    m0 = jnp.max(buf, axis=0, keepdims=True)
                 else:
                     m0 = current_merit
 
@@ -292,7 +298,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
                 def lbody(lc):
                     j, t, _, _ = lc
-                    tb = t[None, :]
+                    tb = t
                     # Trial x + t*dx with the margin rule
                     # y <- y + t*(dy - b) (full_variable.cc:55-65).
                     xp = X((xi[0] + tb * dzx, xi[1] + tb * dzu,
@@ -309,10 +315,10 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
                 _, t_fin, _, _ = lax.while_loop(
                     lcond, lbody,
-                    (i32(0), jnp.ones((Bl,), f32), jnp.bool_(True),
+                    (i32(0), jnp.ones((1, Bl), f32), jnp.bool_(True),
                      false_b))
 
-                tm = jnp.where(step, t_fin, 0.0)[None, :]
+                tm = jnp.where(step, t_fin, jnp.zeros_like(t_fin))
                 xi_new = X((xi[0] + tm * dzx, xi[1] + tm * dzu,
                             xi[2] + tm * dl, xi[3] + tm * dv,
                             xi[4] + tm * (dy - bb)))
@@ -326,9 +332,9 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                         idone_new, lfail_new, Ei_best, stall_ct)
 
             init = (i32(0), jnp.any(active), xk,
-                    jnp.zeros((Bl,), f32), newton0, merit0,
+                    jnp.zeros((1, Bl), f32), newton0, merit0,
                     false_b, false_b,
-                    jnp.full((Bl,), jnp.inf, f32), zeros_i)
+                    jnp.full((1, Bl), jnp.inf, f32), zeros_i)
             (_, _, xi, Eo, ninfo, _, _, lfail, _, _) = lax.while_loop(
                 icond, ibody, init)
             # Project duals (impl.h:301).
@@ -367,12 +373,12 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             if opts.check_feasibility:
                 dzx_, dzu_, dl_, dv_ = (dx_new[0], dx_new[1], dx_new[2],
                                         dx_new[3])
-                d1 = jnp.max(gemvA(dzx_, dzu_), axis=0)
+                d1 = jnp.max(gemvA(dzx_, dzu_), axis=0, keepdims=True)
                 d2 = imax(gemvG(dzx_, dzu_))
                 d3x, d3u = gemvH(dzx_, dzu_)
                 d3 = jnp.maximum(imax(d3x), imax(d3u))
-                d4 = (jnp.sum(fx * dzx_, axis=0)
-                      + jnp.sum(fu * dzu_, axis=0))
+                d4 = (jnp.sum(fx * dzx_, axis=0, keepdims=True)
+                      + jnp.sum(fu * dzu_, axis=0, keepdims=True))
                 w = jnp.maximum(imax(dzx_), imax(dzu_))
                 tol_i = opts.infeas_tol
                 d_inf = ((d1 <= w * tol_i) & (d2 <= tol_i * w)
@@ -380,8 +386,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                 p1x, p1u = gemvAT(dv_)
                 g1x, g1u = gemvGT(dl_)
                 p1 = jnp.maximum(imax(p1x + g1x), imax(p1u + g1u))
-                p2 = (jnp.sum(hh * dl_, axis=0)
-                      + jnp.sum(bb * dv_, axis=0))
+                p2 = (jnp.sum(hh * dl_, axis=0, keepdims=True)
+                      + jnp.sum(bb * dv_, axis=0, keepdims=True))
                 uu = jnp.maximum(imax(dv_), imax(dl_))
                 p_inf = (p1 <= tol_i * uu) & (p2 < 0)
             else:
@@ -428,7 +434,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
         init = (i32(0), jnp.bool_(True), xk0, dx0, itol0,
                 E0, zeros_i, zeros_i, false_b,
-                jnp.full((Bl,), int(ExitFlag.MAXITERATIONS), i32),
+                jnp.full((1, Bl), int(ExitFlag.MAXITERATIONS), i32),
                 xk0, E0)
         (_, _, xk_f, _, _, Ek_f, ninfo_f, pinfo_f, done_f, eflag_f,
          ox_f, ores_f) = lax.while_loop(ocond, obody, init)
@@ -444,10 +450,10 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
         l_out[...] = out_x[2].reshape(Np1, nx, Bl)
         v_out[...] = out_x[3].reshape(Np1, nc, Bl)
         y_out[...] = out_x[4].reshape(Np1, nc, Bl)
-        eflag_out[...] = eflag_fin[None]
-        res_out[...] = out_res[None]
-        newton_out[...] = ninfo_f[None]
-        prox_out[...] = pinfo_f[None]
+        eflag_out[...] = eflag_fin
+        res_out[...] = out_res
+        newton_out[...] = ninfo_f
+        prox_out[...] = pinfo_f
 
     return kernel
 
