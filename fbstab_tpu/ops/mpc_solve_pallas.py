@@ -252,12 +252,19 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
         itol0 = jnp.clip(E0, opts.inner_tol_min, opts.inner_tol_max)
 
         i32 = jnp.int32
-        zeros_i = jnp.zeros((1, Bl), i32)
-        false_b = jnp.zeros((1, Bl), jnp.bool_)
+        # Carried initializers derived from computed data rather than
+        # constants: constant splat layouts meeting computed layouts at
+        # the while-loop carry join would need Mosaic's unimplemented
+        # sublane broadcast.
+        zero_row = E0 * 0.0
+        one_row = zero_row + 1.0
+        zeros_i = zero_row.astype(i32)
+        false_b = zero_row > 1.0
 
         # ---------- inner subproblem (impl.h:229-304) ----------
         def solve_subproblem(xk, xbar, itol, Ek_outer, newton0, active):
-            merit0 = jnp.zeros((NONMONOTONE_DEPTH, Bl), f32)
+            merit0 = jnp.concatenate([zero_row] * NONMONOTONE_DEPTH,
+                                     axis=0)
 
             def icond(c):
                 (i, go) = c[0], c[1]
@@ -315,8 +322,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
                 _, t_fin, _, _ = lax.while_loop(
                     lcond, lbody,
-                    (i32(0), jnp.ones((1, Bl), f32), jnp.bool_(True),
-                     false_b))
+                    (i32(0), one_row, jnp.bool_(True), false_b))
 
                 tm = jnp.where(step, t_fin, jnp.zeros_like(t_fin))
                 xi_new = X((xi[0] + tm * dzx, xi[1] + tm * dzu,
@@ -332,9 +338,9 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                         idone_new, lfail_new, Ei_best, stall_ct)
 
             init = (i32(0), jnp.any(active), xk,
-                    jnp.zeros((1, Bl), f32), newton0, merit0,
+                    zero_row, newton0, merit0,
                     false_b, false_b,
-                    jnp.full((1, Bl), jnp.inf, f32), zeros_i)
+                    zero_row + jnp.inf, zeros_i)
             (_, _, xi, Eo, ninfo, _, _, lfail, _, _) = lax.while_loop(
                 icond, ibody, init)
             # Project duals (impl.h:301).
@@ -434,7 +440,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
         init = (i32(0), jnp.bool_(True), xk0, dx0, itol0,
                 E0, zeros_i, zeros_i, false_b,
-                jnp.full((1, Bl), int(ExitFlag.MAXITERATIONS), i32),
+                zeros_i + int(ExitFlag.MAXITERATIONS),
                 xk0, E0)
         (_, _, xk_f, _, _, Ek_f, ninfo_f, pinfo_f, done_f, eflag_f,
          ox_f, ores_f) = lax.while_loop(ocond, obody, init)
