@@ -271,8 +271,12 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                 return go & (i < opts.max_inner_iters)
 
             def ibody(c):
-                (i, _, xi, Eo, ninfo, merit_buf, idone, lfail,
+                (i, _, xi, Eo, ninfo, merit_buf, idone_i, lfail_i,
                  Ei_best, stall_ct) = c
+                # Masks ride the carry as int32 rows: Mosaic cannot lower
+                # (1, B) bool while-carries (sublane broadcast).
+                idone = idone_i > 0
+                lfail = lfail_i > 0
                 ri = inner_residual(*xi, xbar[0], xbar[1], xbar[2],
                                     xbar[3])
                 Ei = rnorm(ri)
@@ -318,11 +322,11 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                     accept = mp <= m0 - 2.0 * t * opts.eta * current_merit
                     t_next = jnp.where(accept, t, t * opts.beta)
                     go = jnp.any(~accept & step)
-                    return j + 1, t_next, go, accept
+                    return j + 1, t_next, go, accept.astype(jnp.int32)
 
                 _, t_fin, _, _ = lax.while_loop(
                     lcond, lbody,
-                    (i32(0), one_row, jnp.bool_(True), false_b))
+                    (i32(0), one_row, jnp.bool_(True), zeros_i))
 
                 tm = jnp.where(step, t_fin, jnp.zeros_like(t_fin))
                 xi_new = X((xi[0] + tm * dzx, xi[1] + tm * dzu,
@@ -335,14 +339,16 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
                 go = jnp.any(active & ~idone_new & ~lfail_new)
                 return (i + 1, go, xi_new, Eo_out, ninfo_new, buf,
-                        idone_new, lfail_new, Ei_best, stall_ct)
+                        idone_new.astype(jnp.int32),
+                        lfail_new.astype(jnp.int32), Ei_best, stall_ct)
 
             init = (i32(0), jnp.any(active), xk,
                     zero_row, newton0, merit0,
-                    false_b, false_b,
+                    zeros_i, zeros_i,
                     zero_row + jnp.inf, zeros_i)
-            (_, _, xi, Eo, ninfo, _, _, lfail, _, _) = lax.while_loop(
+            (_, _, xi, Eo, ninfo, _, _, lfail_i, _, _) = lax.while_loop(
                 icond, ibody, init)
+            lfail = lfail_i > 0
             # Project duals (impl.h:301).
             xi = X((xi[0], xi[1], xi[2], jnp.maximum(xi[3], 0.0), xi[4]))
             return xi, Eo, ninfo, lfail
@@ -352,8 +358,9 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             return c[1] & (c[0] < opts.max_prox_iters)
 
         def obody(c):
-            (k, _, xk, dx, itol, Ek_prev, ninfo, pinfo, done, eflag,
+            (k, _, xk, dx, itol, Ek_prev, ninfo, pinfo, done_i, eflag,
              ox, ores) = c
+            done = done_i > 0
             Ek = rnorm(pnr(*xk))
 
             dxn = jnp.sqrt(ssum(dx[0]) + ssum(dx[1]) + ssum(dx[2])
@@ -435,15 +442,16 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
             go = jnp.any(cont)
             return (k + 1, go, xk_next, dx_out, itol_new, Ek_keep,
-                    ninfo_new, pinfo_new, done_new, eflag_new, ox_new,
-                    ores_new)
+                    ninfo_new, pinfo_new, done_new.astype(jnp.int32),
+                    eflag_new, ox_new, ores_new)
 
         init = (i32(0), jnp.bool_(True), xk0, dx0, itol0,
-                E0, zeros_i, zeros_i, false_b,
+                E0, zeros_i, zeros_i, zeros_i,
                 zeros_i + int(ExitFlag.MAXITERATIONS),
                 xk0, E0)
-        (_, _, xk_f, _, _, Ek_f, ninfo_f, pinfo_f, done_f, eflag_f,
+        (_, _, xk_f, _, _, Ek_f, ninfo_f, pinfo_f, done_fi, eflag_f,
          ox_f, ores_f) = lax.while_loop(ocond, obody, init)
+        done_f = done_fi > 0
 
         # Prox budget exhausted (impl.h:219-223): xk with last Ek.
         out_x = sel_x(done_f, ox_f, xk_f)
