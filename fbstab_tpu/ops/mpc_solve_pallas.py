@@ -186,6 +186,19 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             mf = mf + m.astype(mf.dtype)
             return jnp.where(mf > 0.5, a, b)
 
+        def blend(m, a, b):
+            """Select-free per-instance (1, B) select: b + m*(a - b).
+            Mosaic fails to lower select_n on (1, B) operands coming out
+            of reductions (replicated layouts), while arithmetic
+            broadcasts are fine. NOT NaN-masking: a NaN in either operand
+            leaks through; every call site below either has both operands
+            finite or only contaminates lanes that already exited with
+            LINEAR_SOLVER_FAILED (whose outputs are taken from the
+            pre-failure iterate)."""
+            mf = m.astype(a.dtype) if a.dtype != jnp.int32 else \
+                m.astype(jnp.int32)
+            return b + mf * (a - b)
+
         X = tuple  # state = (zx, zu, l, v, y), all 2-D (rows, B)
 
         def sel_x(m, a, b):
@@ -287,7 +300,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                        | (ninfo >= opts.max_newton_iters))
                 if opts.inner_stall_tol > 0.0:
                     improved = Ei < Ei_best * (1.0 - opts.inner_stall_tol)
-                    stall_ct = jnp.where(improved, 0, stall_ct + 1)
+                    stall_ct = blend(improved, jnp.zeros_like(stall_ct),
+                                     stall_ct + 1)
                     brk = brk | (stall_ct >= 3)
                 Ei_best = jnp.minimum(Ei_best, Ei)
 
@@ -320,7 +334,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                     np_ = rnorm(rp)
                     mp = 0.5 * np_ * np_
                     accept = mp <= m0 - 2.0 * t * opts.eta * current_merit
-                    t_next = jnp.where(accept, t, t * opts.beta)
+                    acc_f = accept.astype(f32)
+                    t_next = t * (acc_f + (1.0 - acc_f) * opts.beta)
                     go = jnp.any(~accept & step)
                     return j + 1, t_next, go, accept.astype(jnp.int32)
 
@@ -328,13 +343,13 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                     lcond, lbody,
                     (i32(0), one_row, jnp.bool_(True), zeros_i))
 
-                tm = jnp.where(step, t_fin, jnp.zeros_like(t_fin))
+                tm = step.astype(f32) * t_fin
                 xi_new = X((xi[0] + tm * dzx, xi[1] + tm * dzu,
                             xi[2] + tm * dl, xi[3] + tm * dv,
                             xi[4] + tm * (dy - bb)))
 
-                ninfo_new = jnp.where(step, ninfo + 1, ninfo)
-                Eo_out = sel(active & ~idone, Eo_new, Eo)
+                ninfo_new = ninfo + step.astype(jnp.int32)
+                Eo_out = blend(active & ~idone, Eo_new, Eo)
                 idone_new = idone | (brk & active) | ~active
 
                 go = jnp.any(active & ~idone_new & ~lfail_new)
@@ -409,36 +424,40 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             p_inf = p_inf & active
             d_inf = d_inf & active
             infeas = p_inf | d_inf
-            eflag_infeas = jnp.where(
-                p_inf & d_inf, i32(int(ExitFlag.PRIMAL_DUAL_INFEASIBLE)),
-                jnp.where(p_inf, i32(int(ExitFlag.PRIMAL_INFEASIBLE)),
-                          i32(int(ExitFlag.DUAL_INFEASIBLE))))
+            ezero = jnp.zeros((1, Bl), i32)
+            eflag_infeas = blend(
+                p_inf & d_inf,
+                ezero + int(ExitFlag.PRIMAL_DUAL_INFEASIBLE),
+                blend(p_inf, ezero + int(ExitFlag.PRIMAL_INFEASIBLE),
+                      ezero + int(ExitFlag.DUAL_INFEASIBLE)))
 
             lfail = lfail & active
             done_new = done | success | lfail | exhausted | infeas
-            eflag_new = jnp.where(
-                success & ~done, i32(int(ExitFlag.SUCCESS)),
-                jnp.where(lfail, i32(int(ExitFlag.LINEAR_SOLVER_FAILED)),
-                          jnp.where(exhausted,
-                                    i32(int(ExitFlag.MAXITERATIONS)),
-                                    jnp.where(infeas, eflag_infeas,
-                                              eflag))))
+            # Priority chain applied in reverse so later blends override.
+            eflag_new = blend(infeas, eflag_infeas, eflag)
+            eflag_new = blend(
+                exhausted, jnp.zeros_like(eflag)
+                + int(ExitFlag.MAXITERATIONS), eflag_new)
+            eflag_new = blend(
+                lfail, jnp.zeros_like(eflag)
+                + int(ExitFlag.LINEAR_SOLVER_FAILED), eflag_new)
+            eflag_new = blend(success & ~done, jnp.zeros_like(eflag)
+                              + int(ExitFlag.SUCCESS), eflag_new)
 
             ox_new = sel_x(
                 success & ~done, xk,
                 sel_x(lfail, xk,
                       sel_x(exhausted, xbud,
                             sel_x(infeas, dx_new, ox))))
-            ores_new = jnp.where(
-                success & ~done, Ek,
-                jnp.where(lfail, Ek,
-                          jnp.where(exhausted, res_bud,
-                                    jnp.where(infeas, Ek, ores))))
+            ores_new = blend(infeas, Ek, ores)
+            ores_new = blend(exhausted, res_bud, ores_new)
+            ores_new = blend(lfail, Ek, ores_new)
+            ores_new = blend(success & ~done, Ek, ores_new)
 
             cont = ~done_new
             xk_next = sel_x(cont, xi, xk)
-            pinfo_new = jnp.where(cont, pinfo + 1, pinfo)
-            Ek_keep = sel(done, Ek_prev, Ek)
+            pinfo_new = pinfo + cont.astype(jnp.int32)
+            Ek_keep = blend(done, Ek_prev, Ek)
 
             go = jnp.any(cont)
             return (k + 1, go, xk_next, dx_out, itol_new, Ek_keep,
@@ -455,9 +474,10 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
         # Prox budget exhausted (impl.h:219-223): xk with last Ek.
         out_x = sel_x(done_f, ox_f, xk_f)
-        out_res = jnp.where(done_f, ores_f, Ek_f)
-        eflag_fin = jnp.where(done_f, eflag_f,
-                              i32(int(ExitFlag.MAXITERATIONS)))
+        out_res = blend(done_f, ores_f, Ek_f)
+        eflag_fin = blend(done_f, eflag_f,
+                          jnp.zeros((1, Bl), i32)
+                          + int(ExitFlag.MAXITERATIONS))
 
         z_out[:, :nx] = out_x[0].reshape(Np1, nx, Bl)
         z_out[:, nx:] = out_x[1].reshape(Np1, nu, Bl)
