@@ -83,7 +83,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                eflag_out, res_out, newton_out, prox_out, e0_out,
                # scratch for the Newton step
                rz_s, rl_s, rv_s, xv_s, xy_s, vb_s, dz_s, dl_s,
-               Lc, Mc, SMc, SGc, AMc, Pc, th_s, h_s):
+               Lc, Mc, SMc, SGc, AMc, Pc, th_s, h_s, red_s):
         f32 = Q_ref.dtype
         Bl = Q_ref.shape[-1]
 
@@ -139,13 +139,23 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             [x0_ref[...][None], c_ref[...]], axis=0).reshape(Np1 * nx, Bl)
         bb = -d_ref[...].reshape(Np1 * nc, Bl)
 
+        def mater(x):
+            """Round-trips a (1, B) reduction result through VMEM to
+            force a canonical vector layout: sublane-reduction outputs
+            carry replicated layouts that Mosaic cannot re-broadcast when
+            they meet while-loop carries (Not implemented: Sublane
+            broadcast)."""
+            red_s[...] = x
+            return red_s[...]
+
         def ssum(a):
             return jnp.sum(a * a, axis=0, keepdims=True)       # (1, B)
 
         def imax(a):
-            return jnp.max(jnp.abs(a), axis=0, keepdims=True)  # (1, B)
+            return mater(jnp.max(jnp.abs(a), axis=0, keepdims=True))
 
-        forcing = jnp.sqrt(ssum(fx) + ssum(fu) + ssum(hh) + ssum(bb))
+        forcing = mater(jnp.sqrt(ssum(fx) + ssum(fu) + ssum(hh)
+                         + ssum(bb)))
         combo_tol = opts.abs_tol + opts.rel_tol * (1.0 + forcing)
 
         def inner_residual(zx, zu, l, v, y, bzx, bzu, bl, bv):
@@ -172,7 +182,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
         def rnorm(r4):
             rzx, rzu, rl, rv = r4
-            return jnp.sqrt(ssum(rzx) + ssum(rzu) + ssum(rl) + ssum(rv))
+            return mater(
+                jnp.sqrt(ssum(rzx) + ssum(rzu) + ssum(rl) + ssum(rv)))
 
         def sel(m, a, b):
             """Per-instance select: m (1, B) bool; a/b (1, B) or
@@ -241,9 +252,13 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             Adz = gemvA(dzx, dzu)
             dv = (-rv + ga * Adz) / mus
             dy = bb - Adz
-            ok = ~(jnp.any(jnp.isnan(dzx), axis=0, keepdims=True)
-                   | jnp.any(jnp.isnan(dzu), axis=0, keepdims=True)
-                   | jnp.any(jnp.isnan(dl), axis=0, keepdims=True))
+            nan_ct = mater(jnp.sum(jnp.isnan(dzx).astype(f32), axis=0,
+                                   keepdims=True)
+                           + jnp.sum(jnp.isnan(dzu).astype(f32), axis=0,
+                                     keepdims=True)
+                           + jnp.sum(jnp.isnan(dl).astype(f32), axis=0,
+                                     keepdims=True))
+            ok = nan_ct < 0.5
             return dzx, dzu, dl, dv, dy, ok
 
         # ---------- initialization (impl.h:139-149) ----------
@@ -314,7 +329,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                 buf = jnp.concatenate(
                     [current_merit, merit_buf[:-1]], axis=0)
                 if opts.nonmonotone_linesearch:
-                    m0 = jnp.max(buf, axis=0, keepdims=True)
+                    m0 = mater(jnp.max(buf, axis=0, keepdims=True))
                 else:
                     m0 = current_merit
 
@@ -378,8 +393,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             done = done_i > 0
             Ek = rnorm(pnr(*xk))
 
-            dxn = jnp.sqrt(ssum(dx[0]) + ssum(dx[1]) + ssum(dx[2])
-                           + ssum(dx[3]))
+            dxn = mater(jnp.sqrt(ssum(dx[0]) + ssum(dx[1]) + ssum(dx[2])
+                                 + ssum(dx[3])))
             success = (Ek <= combo_tol) | (dxn <= opts.stall_tol)
 
             itol_new = jnp.clip(itol * opts.delta, opts.inner_tol_min, Ek)
@@ -401,12 +416,13 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             if opts.check_feasibility:
                 dzx_, dzu_, dl_, dv_ = (dx_new[0], dx_new[1], dx_new[2],
                                         dx_new[3])
-                d1 = jnp.max(gemvA(dzx_, dzu_), axis=0, keepdims=True)
+                d1 = mater(jnp.max(gemvA(dzx_, dzu_), axis=0,
+                                   keepdims=True))
                 d2 = imax(gemvG(dzx_, dzu_))
                 d3x, d3u = gemvH(dzx_, dzu_)
                 d3 = jnp.maximum(imax(d3x), imax(d3u))
-                d4 = (jnp.sum(fx * dzx_, axis=0, keepdims=True)
-                      + jnp.sum(fu * dzu_, axis=0, keepdims=True))
+                d4 = mater(jnp.sum(fx * dzx_, axis=0, keepdims=True)
+                           + jnp.sum(fu * dzu_, axis=0, keepdims=True))
                 w = jnp.maximum(imax(dzx_), imax(dzu_))
                 tol_i = opts.infeas_tol
                 d_inf = ((d1 <= w * tol_i) & (d2 <= tol_i * w)
@@ -414,8 +430,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                 p1x, p1u = gemvAT(dv_)
                 g1x, g1u = gemvGT(dl_)
                 p1 = jnp.maximum(imax(p1x + g1x), imax(p1u + g1u))
-                p2 = (jnp.sum(hh * dl_, axis=0, keepdims=True)
-                      + jnp.sum(bb * dv_, axis=0, keepdims=True))
+                p2 = mater(jnp.sum(hh * dl_, axis=0, keepdims=True)
+                           + jnp.sum(bb * dv_, axis=0, keepdims=True))
                 uu = jnp.maximum(imax(dv_), imax(dl_))
                 p_inf = (p1 <= tol_i * uu) & (p2 < 0)
             else:
@@ -567,6 +583,7 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         pltpu.VMEM((N, nx, nu, tile_b), dtype),    # Pc
         pltpu.VMEM((N1, nx, tile_b), dtype),       # th
         pltpu.VMEM((N1, nx, tile_b), dtype),       # h
+        pltpu.VMEM((1, tile_b), dtype),            # red_s (see mater)
     ]
 
     call = pl.pallas_call(
