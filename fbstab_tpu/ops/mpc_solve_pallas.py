@@ -83,7 +83,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                eflag_out, res_out, newton_out, prox_out, e0_out,
                # scratch for the Newton step
                rz_s, rl_s, rv_s, xv_s, xy_s, vb_s, dz_s, dl_s,
-               Lc, Mc, SMc, SGc, AMc, Pc, th_s, h_s, red_s):
+               Lc, Mc, SMc, SGc, th_s, h_s, red_s):
         f32 = Q_ref.dtype
         Bl = Q_ref.shape[-1]
 
@@ -229,8 +229,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                 jnp.asarray(sigma, f32),
                 Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
                 xv_s, xy_s, vb_s, rz_s, rl_s, rv_s, dz_s, dl_s,
-                Lc, Mc, SMc, SGc, AMc, Pc, th_s, h_s,
-                N=N, nx=nx, nu=nu, nc=nc, alpha=alpha)
+                Lc, Mc, SMc, SGc, None, None, th_s, h_s,
+                N=N, nx=nx, nu=nu, nc=nc, alpha=alpha, store_AP=False)
             dz = dz_s[...]
             dzx = dz[:, :nx].reshape(Np1 * nx, Bl)
             dzu = dz[:, nx:].reshape(Np1 * nu, Bl)
@@ -272,8 +272,11 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
         ones_zx = jnp.ones_like(zx0)
         ones_zu = jnp.ones_like(zu0)
-        dx0 = X((ones_zx, ones_zu, jnp.ones_like(l0), jnp.ones_like(v0),
-                 bb - gemvA(ones_zx, ones_zu)))
+        # Only ||dx|| crosses outer iterations (the stall test); the full
+        # step is consumed within its own iteration.
+        dxn0 = mater(jnp.sqrt(
+            ssum(ones_zx) + ssum(ones_zu) + ssum(jnp.ones_like(l0))
+            + ssum(jnp.ones_like(v0))))
 
         E0 = rnorm(pnr(*xk0))
         e0_out[...] = E0
@@ -384,17 +387,31 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             return xi, Eo, ninfo, lfail
 
         # ---------- outer proximal loop (impl.h:158-224) ----------
+        def write_out(mask, xval):
+            """Masked write of a state tuple into the output refs."""
+            mz = jnp.zeros((Np1, ns, Bl), f32) + mask.astype(f32)
+            z_out[...] = jnp.where(
+                mz > 0.5,
+                jnp.concatenate(
+                    [xval[0].reshape(Np1, nx, Bl),
+                     xval[1].reshape(Np1, nu, Bl)], axis=1), z_out[...])
+            ml = jnp.zeros((Np1, nx, Bl), f32) + mask.astype(f32)
+            l_out[...] = jnp.where(
+                ml > 0.5, xval[2].reshape(Np1, nx, Bl), l_out[...])
+            mv = jnp.zeros((Np1, nc, Bl), f32) + mask.astype(f32)
+            v_out[...] = jnp.where(
+                mv > 0.5, xval[3].reshape(Np1, nc, Bl), v_out[...])
+            y_out[...] = jnp.where(
+                mv > 0.5, xval[4].reshape(Np1, nc, Bl), y_out[...])
+
         def ocond(c):
             return c[1] & (c[0] < opts.max_prox_iters)
 
         def obody(c):
-            (k, _, xk, dx, itol, Ek_prev, ninfo, pinfo, done_i, eflag,
-             ox, ores) = c
+            (k, _, xk, dxn, itol, Ek_prev, ninfo, pinfo, done_i, eflag,
+             ores) = c
             done = done_i > 0
             Ek = rnorm(pnr(*xk))
-
-            dxn = mater(jnp.sqrt(ssum(dx[0]) + ssum(dx[1]) + ssum(dx[2])
-                                 + ssum(dx[3])))
             success = (Ek <= combo_tol) | (dxn <= opts.stall_tol)
 
             itol_new = jnp.clip(itol * opts.delta, opts.inner_tol_min, Ek)
@@ -405,7 +422,10 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
             dx_new = X((xi[0] - xk[0], xi[1] - xk[1], xi[2] - xk[2],
                         xi[3] - xk[3], xi[4] - xk[4] + bb))
-            dx_out = sel_x(active, dx_new, dx)
+            dxn_new = mater(jnp.sqrt(
+                ssum(dx_new[0]) + ssum(dx_new[1]) + ssum(dx_new[2])
+                + ssum(dx_new[3])))
+            dxn_out = blend(active, dxn_new, dxn)
 
             exhausted = active & (ninfo_new >= opts.max_newton_iters)
             better_xi = Eo < Ek
@@ -460,11 +480,13 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             eflag_new = blend(success & ~done, jnp.zeros_like(eflag)
                               + int(ExitFlag.SUCCESS), eflag_new)
 
-            ox_new = sel_x(
+            # Write exiting instances' outputs now instead of carrying
+            # them (saves an extra state copy in the while carry).
+            newly = done_new & ~done
+            out_val = sel_x(
                 success & ~done, xk,
-                sel_x(lfail, xk,
-                      sel_x(exhausted, xbud,
-                            sel_x(infeas, dx_new, ox))))
+                sel_x(lfail, xk, sel_x(exhausted, xbud, dx_new)))
+            write_out(newly, out_val)
             ores_new = blend(infeas, Ek, ores)
             ores_new = blend(exhausted, res_bud, ores_new)
             ores_new = blend(lfail, Ek, ores_new)
@@ -476,30 +498,29 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             Ek_keep = blend(done, Ek_prev, Ek)
 
             go = jnp.any(cont)
-            return (k + 1, go, xk_next, dx_out, itol_new, Ek_keep,
+            return (k + 1, go, xk_next, dxn_out, itol_new, Ek_keep,
                     ninfo_new, pinfo_new, done_new.astype(jnp.int32),
-                    eflag_new, ox_new, ores_new)
+                    eflag_new, ores_new)
 
-        init = (i32(0), jnp.bool_(True), xk0, dx0, itol0,
+        # Output refs start undefined: initialize with the warmstart so
+        # masked exit-writes compose against defined data.
+        write_out(zero_row < 1.0, xk0)
+
+        init = (i32(0), jnp.bool_(True), xk0, dxn0, itol0,
                 E0, zeros_i, zeros_i, zeros_i,
                 zeros_i + int(ExitFlag.MAXITERATIONS),
-                xk0, E0)
+                E0)
         (_, _, xk_f, _, _, Ek_f, ninfo_f, pinfo_f, done_fi, eflag_f,
-         ox_f, ores_f) = lax.while_loop(ocond, obody, init)
+         ores_f) = lax.while_loop(ocond, obody, init)
         done_f = done_fi > 0
 
         # Prox budget exhausted (impl.h:219-223): xk with last Ek.
-        out_x = sel_x(done_f, ox_f, xk_f)
+        write_out(~done_f, xk_f)
         out_res = blend(done_f, ores_f, Ek_f)
         eflag_fin = blend(done_f, eflag_f,
                           jnp.zeros((1, Bl), i32)
                           + int(ExitFlag.MAXITERATIONS))
 
-        z_out[:, :nx] = out_x[0].reshape(Np1, nx, Bl)
-        z_out[:, nx:] = out_x[1].reshape(Np1, nu, Bl)
-        l_out[...] = out_x[2].reshape(Np1, nx, Bl)
-        v_out[...] = out_x[3].reshape(Np1, nc, Bl)
-        y_out[...] = out_x[4].reshape(Np1, nc, Bl)
         eflag_out[...] = eflag_fin
         res_out[...] = out_res
         newton_out[...] = ninfo_f
@@ -579,8 +600,6 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Mc
         pltpu.VMEM((N1, nu, nx, tile_b), dtype),   # SMc
         pltpu.VMEM((N1, nu, nu, tile_b), dtype),   # SGc
-        pltpu.VMEM((N, nx, nx, tile_b), dtype),    # AMc
-        pltpu.VMEM((N, nx, nu, tile_b), dtype),    # Pc
         pltpu.VMEM((N1, nx, tile_b), dtype),       # th
         pltpu.VMEM((N1, nx, tile_b), dtype),       # h
         pltpu.VMEM((1, tile_b), dtype),            # red_s (see mater)

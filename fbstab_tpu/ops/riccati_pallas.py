@@ -173,7 +173,7 @@ def riccati_factor_solve(
         dz_ref, dl_ref,
         Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
         th_ref, h_ref,
-        *, N, nx, nu, nc, alpha):
+        *, N, nx, nu, nc, alpha, store_AP: bool = True):
     """In-kernel Riccati factor + solve over one batch tile (batch-last).
 
     Reads the iterate pieces (v, y, vbar) and the NEGATED inner residual
@@ -236,6 +236,15 @@ def riccati_factor_solve(
     # ---- Forward matrix recursion (cc:125-188). ----
     L0 = jnp.sqrt(sigma) * Ix
 
+    def stage_AP(i):
+        """AM = A inv(M)', P = (AM SM' - B) inv(SG)' at stage i, from the
+        stored M/SM/SG factors (recompute mode trades ~20% extra VPU work
+        for the AMc/Pc scratch, ~1.4 MB per 128-lane tile)."""
+        AM = _solve_right_LT(A_ref[i], Mc_ref[i])
+        P = _solve_right_LT(_mm(AM, _T(SMc_ref[i])) - B_ref[i],
+                            SGc_ref[i])
+        return AM, P
+
     def fwd_mat_body(i, Lf):
         M, SM, SG = stage_factor(Lf, i)
         AM = _solve_right_LT(A_ref[i], M)
@@ -245,8 +254,9 @@ def riccati_factor_solve(
         Mc_ref[i] = M
         SMc_ref[i] = SM
         SGc_ref[i] = SG
-        AMc_ref[i] = AM
-        Pc_ref[i] = P
+        if store_AP:
+            AMc_ref[i] = AM
+            Pc_ref[i] = P
         return L_next
 
     L_N = lax.fori_loop(0, N, fwd_mat_body, L0)
@@ -267,9 +277,13 @@ def riccati_factor_solve(
     def fwd_vec_body(i, h_i):
         _, mus_i = stage_weights(i)
         _, r1u_i = stage_r1(i, mus_i)
+        if store_AP:
+            AM_i, P_i = AMc_ref[i], Pc_ref[i]
+        else:
+            AM_i, P_i = stage_AP(i)
         tx = _tri_lower(Mc_ref[i], h_i)
         tu = _tri_lower(SGc_ref[i], _mv(SMc_ref[i], tx) + r1u_i)
-        th_n = _mv(Pc_ref[i], tu) + _mv(AMc_ref[i], tx) - rl_ref[i + 1]
+        th_n = _mv(P_i, tu) + _mv(AM_i, tx) - rl_ref[i + 1]
         _, mus_n = stage_weights(i + 1)
         r1x_n, _ = stage_r1(i + 1, mus_n)
         h_n = _cho_solve(Lc_ref[i + 1], th_n) - r1x_n
@@ -297,11 +311,15 @@ def riccati_factor_solve(
         SG = SGc_ref[i]
         _, mus_i = stage_weights(i)
         _, r1u_i = stage_r1(i, mus_i)
+        if store_AP:
+            AM_i, P_i = AMc_ref[i], Pc_ref[i]
+        else:
+            AM_i, P_i = stage_AP(i)
         tx = _tri_lower(M, h_ref[i])
         ui = _tri_lower(SG, _mv(SM, tx) + r1u_i)
-        ui = _tri_upperT(SG, ui + _mv(_T(Pc_ref[i]), l_next))
+        ui = _tri_upperT(SG, ui + _mv(_T(P_i), l_next))
         xi = -_tri_upperT(
-            M, tx + _mv(_T(SM), ui) + _mv(_T(AMc_ref[i]), l_next))
+            M, tx + _mv(_T(SM), ui) + _mv(_T(AM_i), l_next))
         li = -_cho_solve(Lc_ref[i], th_ref[i] + xi)
         dz_ref[i, :nx] = xi
         dz_ref[i, nx:] = ui
