@@ -13,10 +13,18 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Raise the scoped-VMEM budget for the fused solver kernel before libtpu
+# initializes (see fbstab_tpu/ops/mpc_solve_pallas.py).
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+if _VMEM_FLAG not in os.environ.get("LIBTPU_INIT_ARGS", ""):
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG).strip()
 
 BASELINE_QPS = 10_000.0
 

@@ -543,14 +543,39 @@ def solve_mpc_qp(data: MpcQPData, z0, l0, v0, options: Options = Options()):
     return fbstab_solve(MPC_OPS, data, z0, l0, v0, options)
 
 
+def _fused_solve_eligible(data: MpcQPData, dtype) -> bool:
+    """Gate for the fully fused solver kernel (ops/mpc_solve_pallas.py):
+    f32 TPU batches with stage dims small enough for the per-tile VMEM
+    working set."""
+    if PALLAS_MODE == "off":
+        return False
+    N, nx, nu, nc = mpc_dims(data)
+    dims_ok = nx <= 8 and nu <= 8 and nc <= 16 and N <= 60
+    if PALLAS_MODE == "interpret":
+        return dims_ok
+    return (jax.default_backend() == "tpu" and dtype == jnp.float32
+            and dims_ok)
+
+
 def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
                        options: Options = Options()):
     """Batched MPC solve: leading batch axis on every data array and guess.
     The TPU 'DP' analog of running one solver per control loop
     (SURVEY.md section 2).
 
-    Builds the batch-last stage-matrix copies once, outside the solver
-    loops, so the Pallas kernel path reads them as loop invariants."""
+    Dispatch, fastest first:
+     1. the fully fused Pallas solver kernel (TPU + f32 + small stage
+        dims) — the whole algorithm in one kernel per 128-instance tile;
+     2. vmap of the XLA-orchestrated solver, whose Newton step is the
+        fused Riccati kernel via custom_vmap (TPU) or the lax.scan path
+        (CPU / f64)."""
+    if _fused_solve_eligible(data, z0.dtype):
+        from fbstab_tpu.ops.mpc_solve_pallas import fbstab_mpc_solve_fused
+        base = data if not isinstance(data, MpcQPDataT) else MpcQPData(
+            **{k: getattr(data, k) for k in MpcQPData._fields})
+        return fbstab_mpc_solve_fused(
+            base, z0, l0, v0, options,
+            interpret=(PALLAS_MODE == "interpret"))
     if not isinstance(data, MpcQPDataT):
         data = with_transposed(data)
     return jax.vmap(

@@ -29,6 +29,16 @@ Mosaic's unimplemented sublane broadcast).
 from __future__ import annotations
 
 import functools
+import os
+
+# The fused kernel's working set (~17-24 MB per 128-lane tile at N=30,
+# nx=8) exceeds the default 16 MiB scoped-VMEM budget; v5e has headroom
+# when the limit is raised. Must be in the env before libtpu initializes,
+# so it is set at import time (idempotent, merged with existing args).
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+if _VMEM_FLAG not in os.environ.get("LIBTPU_INIT_ARGS", ""):
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG).strip()
 
 import jax
 import jax.numpy as jnp
