@@ -90,24 +90,32 @@ def dense_qp_data(H, f, G=None, h=None, A=None, b=None,
 # matvecs — XLA fuses the surrounding axpys into them).
 # ------------------------------------------------------------------
 
+# All matmuls request full-f32 accumulation: TPU's default reduced
+# matmul precision poisons the KKT factorizations (measured: every
+# instance LINEAR_SOLVER_FAILED on the bench workload at default
+# precision, all SUCCESS at highest).
+def _pm(a, b):
+    return jnp.matmul(a, b, precision="highest")
+
+
 def _gemvH(d: DenseQPData, x):
-    return d.H @ x
+    return _pm(d.H, x)
 
 
 def _gemvA(d: DenseQPData, x):
-    return d.A @ x
+    return _pm(d.A, x)
 
 
 def _gemvG(d: DenseQPData, x):
-    return d.G @ x
+    return _pm(d.G, x)
 
 
 def _gemvAT(d: DenseQPData, v):
-    return d.A.T @ v
+    return _pm(d.A.T, v)
 
 
 def _gemvGT(d: DenseQPData, l):
-    return d.G.T @ l
+    return _pm(d.G.T, l)
 
 
 def _forcing_norm(d: DenseQPData):
@@ -137,13 +145,13 @@ def _factor(d: DenseQPData, x: Variable, xbar: Variable, sigma, alpha
 
     # E = H + sigma*I + A' * diag(Gamma) * A
     E = d.H + sigma * jnp.eye(nz, dtype=d.H.dtype)
-    E = E + d.A.T @ (Gamma[:, None] * d.A)
+    E = E + _pm(d.A.T, Gamma[:, None] * d.A)
     Le = _chol(E)
 
     # W = Le^{-1} G',  S = sigma*I + W'W  (SPD Schur complement of E in K).
     W = _tri(Le, d.G.T, lower=True)
     nl = d.G.shape[0]
-    S = sigma * jnp.eye(nl, dtype=d.H.dtype) + W.T @ W
+    S = sigma * jnp.eye(nl, dtype=d.H.dtype) + _pm(W.T, W)
     Ls = _chol(S)
 
     return DenseFactorization(Le=Le, W=W, Ls=Ls, gamma=gamma, mus=mus,
@@ -174,19 +182,19 @@ def _newton_solve(d: DenseQPData, fact: DenseFactorization, rz, rl, rv
     """
     solve_tri = _tri
 
-    r1 = rz - d.A.T @ (rv / fact.mus)
+    r1 = rz - _pm(d.A.T, rv / fact.mus)
     r2 = -rl
 
     u = solve_tri(fact.Le, r1, lower=True)
-    rhs_l = fact.W.T @ u - r2
+    rhs_l = _pm(fact.W.T, u) - r2
     tl = solve_tri(fact.Ls, rhs_l, lower=True)
     dl = solve_tri(fact.Ls.T, tl, lower=False)
 
-    rhs_z = r1 - d.G.T @ dl
+    rhs_z = r1 - _pm(d.G.T, dl)
     tz = solve_tri(fact.Le, rhs_z, lower=True)
     dz = solve_tri(fact.Le.T, tz, lower=False)
 
-    Adz = d.A @ dz
+    Adz = _pm(d.A, dz)
     dv = (rv + fact.gamma * Adz) / fact.mus
     dy = d.b - Adz
     return Variable(z=dz, l=dl, v=dv, y=dy)

@@ -192,18 +192,18 @@ def _gemvH(d: MpcQPData, x):
     """y(i) = [Q(i) S(i)'; S(i) R(i)] [vx(i); vu(i)]
     (reference: mpc_data.cc:17-65)."""
     vx, vu = _split_z(d, x)
-    yx = (jnp.einsum("sij,sj->si", d.Q, vx)
-          + jnp.einsum("sji,sj->si", d.S, vu))
-    yu = (jnp.einsum("sij,sj->si", d.S, vx)
-          + jnp.einsum("sij,sj->si", d.R, vu))
+    yx = (jnp.einsum("sij,sj->si", d.Q, vx, precision="highest")
+          + jnp.einsum("sji,sj->si", d.S, vu, precision="highest"))
+    yu = (jnp.einsum("sij,sj->si", d.S, vx, precision="highest")
+          + jnp.einsum("sij,sj->si", d.R, vu, precision="highest"))
     return jnp.concatenate([yx, yu], axis=1).reshape(-1)
 
 
 def _gemvA(d: MpcQPData, x):
     """y(i) = E(i) x(i) + L(i) u(i) (reference: mpc_data.cc:67-105)."""
     vx, vu = _split_z(d, x)
-    y = (jnp.einsum("scj,sj->sc", d.E, vx)
-         + jnp.einsum("scj,sj->sc", d.L, vu))
+    y = (jnp.einsum("scj,sj->sc", d.E, vx, precision="highest")
+         + jnp.einsum("scj,sj->sc", d.L, vu, precision="highest"))
     return y.reshape(-1)
 
 
@@ -212,8 +212,8 @@ def _gemvG(d: MpcQPData, x):
     (reference: mpc_data.cc:107-151)."""
     vx, vu = _split_z(d, x)
     head = -vx[:1]
-    tail = (jnp.einsum("sij,sj->si", d.A, vx[:-1])
-            + jnp.einsum("sij,sj->si", d.B, vu[:-1])
+    tail = (jnp.einsum("sij,sj->si", d.A, vx[:-1], precision="highest")
+            + jnp.einsum("sij,sj->si", d.B, vu[:-1], precision="highest")
             - vx[1:])
     return jnp.concatenate([head, tail], axis=0).reshape(-1)
 
@@ -224,8 +224,8 @@ def _gemvGT(d: MpcQPData, l):
     (reference: mpc_data.cc:153-199)."""
     N, nx, nu, _ = mpc_dims(d)
     v = l.reshape(N + 1, nx)
-    atv = jnp.einsum("sji,sj->si", d.A, v[1:])            # A' v(i+1)
-    btv = jnp.einsum("sji,sj->si", d.B, v[1:])            # B' v(i+1)
+    atv = jnp.einsum("sji,sj->si", d.A, v[1:], precision="highest")            # A' v(i+1)
+    btv = jnp.einsum("sji,sj->si", d.B, v[1:], precision="highest")            # B' v(i+1)
     yx = -v + jnp.concatenate([atv, jnp.zeros_like(v[:1])], axis=0)
     yu = jnp.concatenate(
         [btv, jnp.zeros((1, nu), dtype=l.dtype)], axis=0)
@@ -237,8 +237,8 @@ def _gemvAT(d: MpcQPData, vflat):
     (reference: mpc_data.cc:201-238)."""
     N, nx, nu, nc = mpc_dims(d)
     v = vflat.reshape(N + 1, nc)
-    yx = jnp.einsum("sci,sc->si", d.E, v)
-    yu = jnp.einsum("sci,sc->si", d.L, v)
+    yx = jnp.einsum("sci,sc->si", d.E, v, precision="highest")
+    yu = jnp.einsum("sci,sc->si", d.L, v, precision="highest")
     return jnp.concatenate([yx, yu], axis=1).reshape(-1)
 
 
@@ -313,9 +313,9 @@ def _riccati_factor_yv(d: MpcQPData, y, v, vbar, sigma, alpha
     #   Shat = S + L' diag(Gam) E
     GE = Gs[:, :, None] * d.E
     GL = Gs[:, :, None] * d.L
-    Qh = d.Q + sigma * Ix + jnp.einsum("sci,scj->sij", d.E, GE)
-    Rh = d.R + sigma * Iu + jnp.einsum("sci,scj->sij", d.L, GL)
-    Sh = d.S + jnp.einsum("sci,scj->sij", d.L, GE)
+    Qh = d.Q + sigma * Ix + jnp.einsum("sci,scj->sij", d.E, GE, precision="highest")
+    Rh = d.R + sigma * Iu + jnp.einsum("sci,scj->sij", d.L, GL, precision="highest")
+    Sh = d.S + jnp.einsum("sci,scj->sij", d.L, GE, precision="highest")
 
     def cho_inverse(Lf):
         # inv(Lf Lf') via two triangular solves (the reference materializes
