@@ -87,12 +87,15 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
     def kernel(q_ref, r_ref, c_ref, x0_ref, d_ref,
                Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
-               z0_ref, l0_ref, v0_ref,
+               zx0_ref, zu0_ref, l0_ref, v0_ref,
                # outputs
                z_out, l_out, v_out, y_out,
                eflag_out, res_out, newton_out, prox_out, e0_out,
-               # scratch for the Newton step
-               rz_s, rl_s, rv_s, xv_s, xy_s, vb_s, dz_s, dl_s,
+               # scratch for the Newton step (x/u parts separate: Mosaic
+               # cannot reduce over the offset layouts produced by slicing
+               # the stage dim at non-sublane-aligned nx boundaries)
+               rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
+               dzx_s, dzu_s, dl_s,
                Lc, Mc, SMc, SGc, th_s, h_s, red_s):
         f32 = Q_ref.dtype
         Bl = Q_ref.shape[-1]
@@ -228,8 +231,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
         def newton_step(zx, zu, l, v, y, bv, rzx, rzu, rl, rv):
             """Writes -r into scratch, runs the Riccati factor/solve,
             returns (dzx, dzu, dl, dv, dy, ok)."""
-            rz_s[:, :nx] = (-rzx).reshape(Np1, nx, Bl)
-            rz_s[:, nx:] = (-rzu).reshape(Np1, nu, Bl)
+            rzx_s[...] = (-rzx).reshape(Np1, nx, Bl)
+            rzu_s[...] = (-rzu).reshape(Np1, nu, Bl)
             rl_s[...] = (-rl).reshape(Np1, nx, Bl)
             rv_s[...] = (-rv).reshape(Np1, nc, Bl)
             xv_s[...] = v.reshape(Np1, nc, Bl)
@@ -238,12 +241,12 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             riccati_factor_solve(
                 jnp.asarray(sigma, f32),
                 Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
-                xv_s, xy_s, vb_s, rz_s, rl_s, rv_s, dz_s, dl_s,
+                xv_s, xy_s, vb_s, rzx_s, rzu_s, rl_s, rv_s,
+                dzx_s, dzu_s, dl_s,
                 Lc, Mc, SMc, SGc, None, None, th_s, h_s,
                 N=N, nx=nx, nu=nu, nc=nc, alpha=alpha, store_AP=False)
-            dz = dz_s[...]
-            dzx = dz[:, :nx].reshape(Np1 * nx, Bl)
-            dzu = dz[:, nx:].reshape(Np1 * nu, Bl)
+            dzx = dzx_s[...].reshape(Np1 * nx, Bl)
+            dzu = dzu_s[...].reshape(Np1 * nu, Bl)
             dl = dl_s[...].reshape(Np1 * nx, Bl)
             # Dual recovery (riccati_linear_solver.cc:329-342).
             ys = y + sigma * (v - bv)
@@ -272,9 +275,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
             return dzx, dzu, dl, dv, dy, ok
 
         # ---------- initialization (impl.h:139-149) ----------
-        z0 = z0_ref[...]
-        zx0 = z0[:, :nx].reshape(Np1 * nx, Bl)
-        zu0 = z0[:, nx:].reshape(Np1 * nu, Bl)
+        zx0 = zx0_ref[...].reshape(Np1 * nx, Bl)
+        zu0 = zu0_ref[...].reshape(Np1 * nu, Bl)
         l0 = l0_ref[...].reshape(Np1 * nx, Bl)
         v0 = v0_ref[...].reshape(Np1 * nc, Bl)
         y0 = bb - gemvA(zx0, zu0)
@@ -581,7 +583,11 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         prep(data.S, (N1, nu, nx)),
         prep(data.A, (N, nx, nx)), prep(data.B, (N, nx, nu)),
         prep(data.E, (N1, nc, nx)), prep(data.L, (N1, nc, nu)),
-        prep(z0, (N1, ns)), prep(l0, (N1, nx)), prep(v0, (N1, nc)),
+        prep(z0.reshape(B, N1, ns)[:, :, :nx].reshape(B, N1 * nx),
+             (N1, nx)),
+        prep(z0.reshape(B, N1, ns)[:, :, nx:].reshape(B, N1 * nu),
+             (N1, nu)),
+        prep(l0, (N1, nx)), prep(v0, (N1, nc)),
     )
 
     kernel = _make_solve_kernel(N, nx, nu, nc, opts)
@@ -598,13 +604,15 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         jax.ShapeDtypeStruct((1, tile_b), dtype),
     )
     scratch = [
-        pltpu.VMEM((N1, ns, tile_b), dtype),       # rz_s
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # rzx_s
+        pltpu.VMEM((N1, nu, tile_b), dtype),       # rzu_s
         pltpu.VMEM((N1, nx, tile_b), dtype),       # rl_s
         pltpu.VMEM((N1, nc, tile_b), dtype),       # rv_s
         pltpu.VMEM((N1, nc, tile_b), dtype),       # xv_s
         pltpu.VMEM((N1, nc, tile_b), dtype),       # xy_s
         pltpu.VMEM((N1, nc, tile_b), dtype),       # vb_s
-        pltpu.VMEM((N1, ns, tile_b), dtype),       # dz_s
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # dzx_s
+        pltpu.VMEM((N1, nu, tile_b), dtype),       # dzu_s
         pltpu.VMEM((N1, nx, tile_b), dtype),       # dl_s
         pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
         pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Mc

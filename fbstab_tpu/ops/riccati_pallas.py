@@ -169,15 +169,17 @@ def riccati_factor_solve(
         sigma,
         Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
         v_ref, y_ref, vbar_ref,
-        rz_ref, rl_ref, rv_ref,
-        dz_ref, dl_ref,
+        rzx_ref, rzu_ref, rl_ref, rv_ref,
+        dzx_ref, dzu_ref, dl_ref,
         Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
         th_ref, h_ref,
         *, N, nx, nu, nc, alpha, store_AP: bool = True):
     """In-kernel Riccati factor + solve over one batch tile (batch-last).
 
     Reads the iterate pieces (v, y, vbar) and the NEGATED inner residual
-    from refs, writes (dz, dl) into the output refs. Reused by both the
+    from refs, writes (dz, dl) into the output refs. The primal x/u parts
+    are SEPARATE refs: slicing the stage dimension at non-sublane-aligned
+    nx boundaries gives Mosaic offset layouts it cannot reduce over. Reused by both the
     standalone Newton-step kernel and the full-solve kernel
     (ops/mpc_solve_pallas.py). Per-stage PFB weights and the
     post-elimination residual are recomputed where needed instead of being
@@ -208,7 +210,7 @@ def riccati_factor_solve(
         for c in range(1, nc):
             etv = etv + Ei[c] * rvm[c][None]
             ltv = ltv + Li[c] * rvm[c][None]
-        return rz_ref[i, :nx] - etv, rz_ref[i, nx:] - ltv
+        return rzx_ref[i] - etv, rzu_ref[i] - ltv
 
     def stage_hessians(i):
         """Qhat, Rhat, Shat at stage i (riccati_linear_solver.cc:101-123)."""
@@ -300,8 +302,8 @@ def riccati_factor_solve(
     uN = _cho_solve(SG_N, _mv(SM_N, txN) + r1u_N)
     xN = -_tri_upperT(M_N, txN + _mv(_T(SM_N), uN))
     lN = -_cho_solve(L_N, xN + th_ref[N])
-    dz_ref[N, :nx] = xN
-    dz_ref[N, nx:] = uN
+    dzx_ref[N] = xN
+    dzu_ref[N] = uN
     dl_ref[N] = lN
 
     def bwd_body(k, l_next):
@@ -321,8 +323,8 @@ def riccati_factor_solve(
         xi = -_tri_upperT(
             M, tx + _mv(_T(SM), ui) + _mv(_T(AM_i), l_next))
         li = -_cho_solve(Lc_ref[i], th_ref[i] + xi)
-        dz_ref[i, :nx] = xi
-        dz_ref[i, nx:] = ui
+        dzx_ref[i] = xi
+        dzu_ref[i] = ui
         dl_ref[i] = li
         return li
 
@@ -333,8 +335,8 @@ def _newton_step_kernel(
         sigma_ref,
         Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
         v_ref, y_ref, vbar_ref,
-        rz_ref, rl_ref, rv_ref,
-        dz_ref, dl_ref,
+        rzx_ref, rzu_ref, rl_ref, rv_ref,
+        dzx_ref, dzu_ref, dl_ref,
         Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
         th_ref, h_ref,
         *, N, nx, nu, nc, alpha):
@@ -344,8 +346,8 @@ def _newton_step_kernel(
         sigma_ref[0, 0],
         Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
         v_ref, y_ref, vbar_ref,
-        rz_ref, rl_ref, rv_ref,
-        dz_ref, dl_ref,
+        rzx_ref, rzu_ref, rl_ref, rv_ref,
+        dzx_ref, dzu_ref, dl_ref,
         Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
         th_ref, h_ref,
         N=N, nx=nx, nu=nu, nc=nc, alpha=alpha)
@@ -411,7 +413,9 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
     vb = prep(v, (N1, nc))
     yb = prep(y, (N1, nc))
     vbarb = prep(vbar, (N1, nc))
-    rzb = prep(rz, (N1, ns))
+    rzs = rz.reshape(B, N1, ns)
+    rzxb = prep(rzs[:, :, :nx].reshape(B, N1 * nx), (N1, nx))
+    rzub = prep(rzs[:, :, nx:].reshape(B, N1 * nu), (N1, nu))
     rlb = prep(rl, (N1, nx))
     rvb = prep(rv, (N1, nc))
 
@@ -432,11 +436,12 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
         spec((N, nx, nx)), spec((N, nx, nu)),
         spec((N1, nc, nx)), spec((N1, nc, nu)),
         spec((N1, nc)), spec((N1, nc)), spec((N1, nc)),
-        spec((N1, ns)), spec((N1, nx)), spec((N1, nc)),
+        spec((N1, nx)), spec((N1, nu)), spec((N1, nx)), spec((N1, nc)),
     ]
-    out_specs = (spec((N1, ns)), spec((N1, nx)))
+    out_specs = (spec((N1, nx)), spec((N1, nu)), spec((N1, nx)))
     out_shape = (
-        jax.ShapeDtypeStruct((N1, ns, Bp), dtype),
+        jax.ShapeDtypeStruct((N1, nx, Bp), dtype),
+        jax.ShapeDtypeStruct((N1, nu, Bp), dtype),
         jax.ShapeDtypeStruct((N1, nx, Bp), dtype),
     )
     scratch = [
@@ -453,7 +458,7 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
     kernel = functools.partial(
         _newton_step_kernel, N=N, nx=nx, nu=nu, nc=nc, alpha=alpha)
 
-    dz_t, dl_t = pl.pallas_call(
+    dzx_t, dzu_t, dl_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -461,9 +466,12 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(sig, Qb, Rb, Sb, Ab, Bb, Eb, Lb, vb, yb, vbarb, rzb, rlb, rvb)
+    )(sig, Qb, Rb, Sb, Ab, Bb, Eb, Lb, vb, yb, vbarb, rzxb, rzub, rlb,
+      rvb)
 
-    dz = _from_bl(dz_t)[:B].reshape(B, N1 * ns)
+    dzx = _from_bl(dzx_t)[:B]
+    dzu = _from_bl(dzu_t)[:B]
+    dz = jnp.concatenate([dzx, dzu], axis=2).reshape(B, N1 * ns)
     dl = _from_bl(dl_t)[:B].reshape(B, N1 * nx)
 
     # Dual recovery outside the kernel (riccati_linear_solver.cc:329-342):
