@@ -130,6 +130,50 @@ def run_dense(B=None):
     }))
 
 
+def run_warmstart(B=None, steps=8):
+    """Receding-horizon sweep (python bench.py warmstart): repeated solves
+    with shifted warmstarts, the reference's documented MPC workflow
+    (README.md:20) at batch scale — BASELINE.json config 2."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.options import Options
+
+    platform = jax.devices()[0].platform
+    if B is None:
+        B = 256 if platform == "cpu" else 8192
+    N, nx, nu, nc = 30, 8, 3, 6
+    dtype = jnp.float32
+    opts = Options.single_precision()
+    data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
+
+    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    x, core = fn(data, z0, l0, v0)           # cold solve + compile
+    np.asarray(core.residual)
+
+    # Closed-loop-style sweep: decay x0 toward the origin each step and
+    # warmstart from the previous solution.
+    t0 = time.perf_counter()
+    total = 0
+    for k in range(steps):
+        data = data._replace(x0=data.x0 * 0.8)
+        x, core = fn(data, x.z, x.l, x.v)
+        total += B
+    np.asarray(core.residual)
+    elapsed = time.perf_counter() - t0
+    qps = total / elapsed
+    success = float(np.mean(np.asarray(core.eflag) == 0))
+    print(f"bench[warmstart]: platform={platform} B={B} steps={steps} "
+          f"success={success:.3f} t={elapsed:.2f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "mpc_warmstart_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "QPs/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
 def main():
     import os
 
@@ -187,5 +231,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dense":
         run_dense()
+    elif len(sys.argv) > 1 and sys.argv[1] == "warmstart":
+        run_warmstart()
     else:
         main()
