@@ -18,12 +18,16 @@ masked-lockstep form — the same per-instance value evolution as
 `vmap(fbstab_solve)`, validated in interpret mode against it. The Newton
 step reuses ops/riccati_pallas.riccati_factor_solve.
 
-Mosaic compatibility notes: state lives in 2-D (rows, TILE_B) arrays —
-per-instance scalars are (TILE_B,) vectors broadcast via [None, :] — and
-the stage-structured matvecs unroll the small matrix dimension with
-column slices of (N+1, n, m, TILE_B) data, the same access patterns the
-Newton-step kernel compiles cleanly with (4-D middle-axis broadcasts hit
-Mosaic's unimplemented sublane broadcast).
+Mosaic compatibility notes (each learned from a real compile failure, see
+CLAUDE.md): state lives in 2-D (rows, TILE_B) arrays with per-instance
+scalars as (1, TILE_B) rows; stage matvecs unroll the small matrix
+dimension with 3-D column slices (4-D middle-axis broadcasts hit the
+unimplemented sublane broadcast); while-loop carries hold masks as int32
+(bool carries fail); (1, B) scalar selects are arithmetic blends; and
+reduction outputs round-trip through a VMEM scratch (`mater`) to shed
+replicated layouts. The primal x/u parts stay in separate buffers because
+slicing the stage dim at non-sublane-aligned nx produces offset layouts
+Mosaic cannot reduce over.
 """
 
 from __future__ import annotations
