@@ -126,3 +126,46 @@ def sharded_mpc_solver(mesh: Mesh, options: Options = Options(),
     sharded_dense_solver)."""
     return _make_sharded_solver(MPC_OPS, mesh, options, axis_name,
                                 with_stats)
+
+
+def sharded_mpc_solver_fused(mesh: Mesh, options: Options = Options(),
+                             axis_name: str = BATCH_AXIS,
+                             with_stats: bool = True,
+                             interpret: bool = False,
+                             tile_b: int | None = None):
+    """MPC batch solver running the fully fused Pallas solver kernel on
+    each device's shard of the batch (shard_map over the mesh).
+
+    This is the multi-chip configuration behind BASELINE.json config 5
+    (1M warmstarted MPC QPs over a slice): instances are independent, each
+    chip streams its local batch through the fused kernel, and only the
+    `batch_stats` reductions cross ICI. The per-shard batch must divide
+    evenly (pad with `shard_batch`'s contract).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older JAX
+        from jax.experimental.shard_map import shard_map
+
+    from fbstab_tpu.ops.mpc_solve_pallas import TILE_B, fbstab_mpc_solve_fused
+
+    tb = TILE_B if tile_b is None else tile_b
+    spec4 = (PartitionSpec(axis_name),) * 4
+
+    def local_solve(data, z0, l0, v0):
+        return fbstab_mpc_solve_fused(
+            data, z0, l0, v0, options, interpret=interpret, tile_b=tb)
+
+    sharded = shard_map(
+        local_solve, mesh=mesh,
+        in_specs=spec4,
+        out_specs=(PartitionSpec(axis_name), PartitionSpec(axis_name)),
+        check_rep=False)
+
+    def solve(data, z0, l0, v0):
+        x, core = sharded(data, z0, l0, v0)
+        if with_stats:
+            return x, core, batch_stats(core)
+        return x, core
+
+    return jax.jit(solve)
