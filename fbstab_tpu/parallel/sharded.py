@@ -159,8 +159,7 @@ def sharded_mpc_solver_fused(mesh: Mesh, options: Options = Options(),
     sharded = shard_map(
         local_solve, mesh=mesh,
         in_specs=spec4,
-        out_specs=(PartitionSpec(axis_name), PartitionSpec(axis_name)),
-        check_rep=False)
+        out_specs=(PartitionSpec(axis_name), PartitionSpec(axis_name)))
 
     def solve(data, z0, l0, v0):
         x, core = sharded(data, z0, l0, v0)
