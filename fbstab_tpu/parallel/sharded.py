@@ -156,10 +156,15 @@ def sharded_mpc_solver_fused(mesh: Mesh, options: Options = Options(),
         return fbstab_mpc_solve_fused(
             data, z0, l0, v0, options, interpret=interpret, tile_b=tb)
 
-    sharded = shard_map(
-        local_solve, mesh=mesh,
-        in_specs=spec4,
-        out_specs=(PartitionSpec(axis_name), PartitionSpec(axis_name)))
+    # check_vma=False: the pallas_call's ShapeDtypeStructs don't carry
+    # varying-mesh-axis metadata (older JAX spells it check_rep).
+    out_specs = (PartitionSpec(axis_name), PartitionSpec(axis_name))
+    try:
+        sharded = shard_map(local_solve, mesh=mesh, in_specs=spec4,
+                            out_specs=out_specs, check_vma=False)
+    except TypeError:
+        sharded = shard_map(local_solve, mesh=mesh, in_specs=spec4,
+                            out_specs=out_specs, check_rep=False)
 
     def solve(data, z0, l0, v0):
         x, core = sharded(data, z0, l0, v0)
