@@ -23,6 +23,7 @@ FBstabDense facade (fbstab/fbstab_dense.{h,cc}), re-designed for TPU:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import NamedTuple, Optional
 
@@ -218,12 +219,38 @@ def solve_dense_qp(data: DenseQPData, z0, l0, v0,
     return fbstab_solve(DENSE_OPS, data, z0, l0, v0, options)
 
 
+PALLAS_MODE = os.environ.get("FBSTAB_PALLAS", "auto")
+
+
+def _fused_dense_eligible(data: DenseQPData, dtype) -> bool:
+    """Gate for the fused dense solver kernel: f32 TPU batches of
+    inequality-only QPs with VMEM-friendly sizes."""
+    if PALLAS_MODE == "off":
+        return False
+    nl = data.G.shape[-2]
+    n = data.H.shape[-1]
+    q = data.A.shape[-2]
+    dims_ok = nl == 0 and n <= 64 and q <= 128
+    if PALLAS_MODE == "interpret":
+        return dims_ok
+    return (jax.default_backend() == "tpu" and dtype == jnp.float32
+            and dims_ok)
+
+
 def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
                          options: Options = Options()):
     """Batched dense solve: every array in `data` and the guesses carry a
     leading batch dimension. Masked-lockstep semantics via vmapped
     while_loops (the reference has no batch mode; this is the TPU 'DP'
-    analog, SURVEY.md section 2)."""
+    analog, SURVEY.md section 2). On TPU, f32 inequality-only batches
+    dispatch to the fully fused Pallas solver kernel
+    (ops/dense_solve_pallas.py)."""
+    if _fused_dense_eligible(data, z0.dtype):
+        from fbstab_tpu.ops.dense_solve_pallas import (
+            fbstab_dense_solve_fused)
+        return fbstab_dense_solve_fused(
+            data, z0, l0, v0, options,
+            interpret=(PALLAS_MODE == "interpret"))
     return jax.vmap(
         lambda d, z, l, v: fbstab_solve(DENSE_OPS, d, z, l, v, options)
     )(data, z0, l0, v0)

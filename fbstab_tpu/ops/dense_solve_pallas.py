@@ -1,0 +1,422 @@
+"""Fully fused FBstab solver kernel for dense inequality-constrained QPs.
+
+The dense sibling of ops/mpc_solve_pallas.py: the whole FBstab algorithm
+(outer proximal loop, inner Newton loop, nonmonotone linesearch,
+feasibility checks) for a tile of TILE_B QP instances in the lane
+dimension. Scope: nl == 0 (inequality-only QPs, the reference's
+FeasibleQP/DegenerateQP class and the batched-dense benchmark config);
+equality-constrained problems use the XLA path.
+
+Same masked-lockstep semantics as vmap(fbstab_solve) (validated in
+interpret mode), same Mosaic workarounds as the MPC kernel (2-D state,
+(1, B) scalar rows, int32 mask carries, arithmetic blends, `mater`
+layout round-trips — see that module's docstring and CLAUDE.md).
+
+The Newton step is the quasi-definite block factorization of
+models/dense_qp.py with nl == 0:  E = H + sigma*I + A' diag(Gamma) A,
+Le = chol(E), dz = E^{-1}(rz - A'(rv./mu)), dv/dy recovered elementwise
+(reference: dense_cholesky_solver.cc:32-127).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+if _VMEM_FLAG not in os.environ.get("LIBTPU_INIT_ARGS", ""):
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG).strip()
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fbstab_tpu.core.algorithm import NONMONOTONE_DEPTH, CoreOut
+from fbstab_tpu.core.variable import Variable
+from fbstab_tpu.options import Options
+from fbstab_tpu.ops.pfb import pfb
+from fbstab_tpu.ops.riccati_pallas import (
+    _chol,
+    _mm,
+    _mv,
+    _pfb_weights,
+    _T,
+    _tri_lower,
+    _tri_upperT,
+)
+from fbstab_tpu.solver_out import ExitFlag
+
+TILE_B = 128
+
+
+def _make_dense_kernel(n, q, opts: Options):
+    sigma = float(opts.sigma0)
+    alpha = float(opts.alpha)
+
+    def kernel(H_ref, f_ref, A_ref, b_ref,
+               z0_ref, l0_ref_unused, v0_ref,
+               z_out, l_out, v_out, y_out,
+               eflag_out, res_out, newton_out, prox_out, e0_out,
+               red_s):
+        f32 = H_ref.dtype
+        Bl = H_ref.shape[-1]
+        Amat = A_ref[...]            # (q, n, B)
+        Hmat = H_ref[...]            # (n, n, B)
+        ff = f_ref[...]              # (n, B)
+        bb = b_ref[...]              # (q, B)
+        In = jnp.broadcast_to(jnp.eye(n, dtype=f32)[..., None], (n, n, Bl))
+
+        def mater(x):
+            red_s[...] = x
+            return red_s[...]
+
+        def ssum(a):
+            return jnp.sum(a * a, axis=0, keepdims=True)
+
+        def imax(a):
+            return mater(jnp.max(jnp.abs(a), axis=0, keepdims=True))
+
+        forcing = mater(jnp.sqrt(ssum(ff) + ssum(bb)))
+        combo_tol = opts.abs_tol + opts.rel_tol * (1.0 + forcing)
+
+        def inner_residual(z, v, y, bz, bv):
+            rz = (ff + _mv(Hmat, z) + _mv(_T(Amat), v)
+                  + sigma * (z - bz))
+            rv = pfb(y + sigma * (v - bv), v, alpha)
+            return rz, rv
+
+        def pnr(z, v, y):
+            rz = ff + _mv(Hmat, z) + _mv(_T(Amat), v)
+            rv = (alpha * jnp.minimum(y, v)
+                  + (1.0 - alpha) * jnp.maximum(0.0, y)
+                  * jnp.maximum(0.0, v))
+            return rz, rv
+
+        def rnorm(r2):
+            rz, rv = r2
+            return mater(jnp.sqrt(ssum(rz) + ssum(rv)))
+
+        def blend(m, a, b):
+            mf = m.astype(a.dtype) if a.dtype != jnp.int32 else \
+                m.astype(jnp.int32)
+            return b + mf * (a - b)
+
+        def sel(m, a, b):
+            if a.shape[0] == m.shape[0]:
+                return jnp.where(m, a, b)
+            mf = jnp.zeros(a.shape, jnp.float32) + m.astype(jnp.float32)
+            return jnp.where(mf > 0.5, a, b)
+
+        X = tuple  # (z, v, y)
+
+        def sel_x(m, a, b):
+            return X(sel(m, ai, bi) for ai, bi in zip(a, b))
+
+        def newton_step(z, v, y, bv, rz, rv):
+            """Factor E = H + sigma I + A' Gamma A, solve for (dz, dv, dy)
+            with the already-NEGATED residual (rz, rv)."""
+            ys = y + sigma * (v - bv)
+            gamma, mus = _pfb_weights(ys, v, sigma, alpha)
+            GA = (gamma / mus)[:, None, :] * Amat          # (q, n, B)
+            E = Hmat + sigma * In + _mm(_T(Amat), GA)
+            Le = _chol(E)
+            r1 = rz - _mv(_T(Amat), rv / mus)
+            dz = _tri_upperT(Le, _tri_lower(Le, r1))
+            Adz = _mv(Amat, dz)
+            dv = (rv + gamma * Adz) / mus
+            dy = bb - Adz
+            nan_ct = mater(jnp.sum(jnp.isnan(dz).astype(f32), axis=0,
+                                   keepdims=True))
+            ok = nan_ct < 0.5
+            return dz, dv, dy, ok
+
+        # ---------- initialization ----------
+        z0 = z0_ref[...]
+        v0 = v0_ref[...]
+        y0 = bb - _mv(Amat, z0)
+        xk0 = X((z0, v0, y0))
+
+        oz = jnp.ones_like(z0)
+        ov = jnp.ones_like(v0)
+        dxn0 = mater(jnp.sqrt(ssum(oz) + ssum(ov)))
+
+        E0 = rnorm(pnr(*xk0))
+        e0_out[...] = E0
+        itol0 = jnp.clip(E0, opts.inner_tol_min, opts.inner_tol_max)
+
+        i32 = jnp.int32
+        zero_row = E0 * 0.0
+        one_row = zero_row + 1.0
+        zeros_i = zero_row.astype(i32)
+        false_b = zero_row > 1.0
+
+        # ---------- inner subproblem ----------
+        def solve_subproblem(xk, itol, Ek_outer, newton0, active):
+            merit0 = jnp.concatenate([zero_row] * NONMONOTONE_DEPTH,
+                                     axis=0)
+
+            def icond(c):
+                return c[1] & (c[0] < opts.max_inner_iters)
+
+            def ibody(c):
+                (i, _, xi, Eo, ninfo, merit_buf, idone_i, lfail_i,
+                 Ei_best, stall_ct) = c
+                idone = idone_i > 0
+                lfail = lfail_i > 0
+                ri = inner_residual(xi[0], xi[1], xi[2], xk[0], xk[1])
+                Ei = rnorm(ri)
+                Eo_new = rnorm(pnr(*xi))
+
+                brk = (((Ei <= itol) & (Eo_new < Ek_outer))
+                       | (Ei <= opts.inner_tol_min)
+                       | (ninfo >= opts.max_newton_iters))
+                if opts.inner_stall_tol > 0.0:
+                    improved = Ei < Ei_best * (1.0 - opts.inner_stall_tol)
+                    stall_ct = blend(improved, jnp.zeros_like(stall_ct),
+                                     stall_ct + 1)
+                    brk = brk | (stall_ct >= 3)
+                Ei_best = jnp.minimum(Ei_best, Ei)
+
+                step = active & ~idone & ~brk & ~lfail
+                dz, dv, dy, ok = newton_step(
+                    xi[0], xi[1], xi[2], xk[1], -ri[0], -ri[1])
+                lfail_new = lfail | (step & ~ok)
+
+                current_merit = 0.5 * Ei * Ei
+                buf = jnp.concatenate(
+                    [current_merit, merit_buf[:-1]], axis=0)
+                if opts.nonmonotone_linesearch:
+                    m0 = mater(jnp.max(buf, axis=0, keepdims=True))
+                else:
+                    m0 = current_merit
+
+                def lcond(lc):
+                    return lc[2] & (lc[0] < opts.max_linesearch_iters)
+
+                def lbody(lc):
+                    j, t, _, _ = lc
+                    xp = X((xi[0] + t * dz, xi[1] + t * dv,
+                            xi[2] + t * (dy - bb)))
+                    rp = inner_residual(xp[0], xp[1], xp[2], xk[0], xk[1])
+                    np_ = rnorm(rp)
+                    mp = 0.5 * np_ * np_
+                    accept = mp <= m0 - 2.0 * t * opts.eta * current_merit
+                    acc_f = accept.astype(f32)
+                    t_next = t * (acc_f + (1.0 - acc_f) * opts.beta)
+                    go = jnp.any(~accept & step)
+                    return j + 1, t_next, go, accept.astype(i32)
+
+                _, t_fin, _, _ = lax.while_loop(
+                    lcond, lbody,
+                    (i32(0), one_row, jnp.bool_(True), zeros_i))
+
+                tm = step.astype(f32) * t_fin
+                xi_new = X((xi[0] + tm * dz, xi[1] + tm * dv,
+                            xi[2] + tm * (dy - bb)))
+
+                ninfo_new = ninfo + step.astype(i32)
+                Eo_out = blend(active & ~idone, Eo_new, Eo)
+                idone_new = idone | (brk & active) | ~active
+
+                go = jnp.any(active & ~idone_new & ~lfail_new)
+                return (i + 1, go, xi_new, Eo_out, ninfo_new, buf,
+                        idone_new.astype(i32), lfail_new.astype(i32),
+                        Ei_best, stall_ct)
+
+            init = (i32(0), jnp.any(active), xk, zero_row, newton0,
+                    merit0, zeros_i, zeros_i, zero_row + jnp.inf, zeros_i)
+            (_, _, xi, Eo, ninfo, _, _, lfail_i, _, _) = lax.while_loop(
+                icond, ibody, init)
+            xi = X((xi[0], jnp.maximum(xi[1], 0.0), xi[2]))
+            return xi, Eo, ninfo, lfail_i > 0
+
+        # ---------- outer proximal loop ----------
+        def write_out(mask, xval):
+            mz = jnp.zeros((n, Bl), f32) + mask.astype(f32)
+            z_out[...] = jnp.where(mz > 0.5, xval[0], z_out[...])
+            mv2 = jnp.zeros((q, Bl), f32) + mask.astype(f32)
+            v_out[...] = jnp.where(mv2 > 0.5, xval[1], v_out[...])
+            y_out[...] = jnp.where(mv2 > 0.5, xval[2], y_out[...])
+
+        def ocond(c):
+            return c[1] & (c[0] < opts.max_prox_iters)
+
+        def obody(c):
+            (k, _, xk, dxn, itol, Ek_prev, ninfo, pinfo, done_i, eflag,
+             ores) = c
+            done = done_i > 0
+            Ek = rnorm(pnr(*xk))
+            success = (Ek <= combo_tol) | (dxn <= opts.stall_tol)
+            itol_new = jnp.clip(itol * opts.delta, opts.inner_tol_min, Ek)
+
+            active = ~done & ~success
+            xi, Eo, ninfo_new, lfail = solve_subproblem(
+                xk, itol_new, Ek, ninfo, active)
+
+            dx_new = X((xi[0] - xk[0], xi[1] - xk[1],
+                        xi[2] - xk[2] + bb))
+            dxn_new = mater(jnp.sqrt(ssum(dx_new[0]) + ssum(dx_new[1])))
+            dxn_out = blend(active, dxn_new, dxn)
+
+            exhausted = active & (ninfo_new >= opts.max_newton_iters)
+            better_xi = Eo < Ek
+            xbud = sel_x(better_xi, xi, xk)
+            res_bud = rnorm(pnr(*xbud))
+
+            if opts.check_feasibility:
+                dz_, dv_ = dx_new[0], dx_new[1]
+                d1 = mater(jnp.max(_mv(Amat, dz_), axis=0, keepdims=True))
+                d3 = imax(_mv(Hmat, dz_))
+                d4 = mater(jnp.sum(ff * dz_, axis=0, keepdims=True))
+                w = imax(dz_)
+                tol_i = opts.infeas_tol
+                d_inf = ((d1 <= w * tol_i) & (d3 <= tol_i * w)
+                         & (d4 < 0) & (w > 1e-14))
+                p1 = imax(_mv(_T(Amat), dv_))
+                p2 = mater(jnp.sum(bb * dv_, axis=0, keepdims=True))
+                uu = imax(dv_)
+                p_inf = (p1 <= tol_i * uu) & (p2 < 0)
+            else:
+                p_inf = false_b
+                d_inf = false_b
+            p_inf = p_inf & active
+            d_inf = d_inf & active
+            infeas = p_inf | d_inf
+            ezero = zeros_i
+            eflag_infeas = blend(
+                p_inf & d_inf,
+                ezero + int(ExitFlag.PRIMAL_DUAL_INFEASIBLE),
+                blend(p_inf, ezero + int(ExitFlag.PRIMAL_INFEASIBLE),
+                      ezero + int(ExitFlag.DUAL_INFEASIBLE)))
+
+            lfail = lfail & active
+            done_new = done | success | lfail | exhausted | infeas
+            eflag_new = blend(infeas, eflag_infeas, eflag)
+            eflag_new = blend(exhausted,
+                              ezero + int(ExitFlag.MAXITERATIONS),
+                              eflag_new)
+            eflag_new = blend(lfail,
+                              ezero + int(ExitFlag.LINEAR_SOLVER_FAILED),
+                              eflag_new)
+            eflag_new = blend(success & ~done,
+                              ezero + int(ExitFlag.SUCCESS), eflag_new)
+
+            newly = done_new & ~done
+            out_val = sel_x(
+                success & ~done, xk,
+                sel_x(lfail, xk, sel_x(exhausted, xbud, dx_new)))
+            write_out(newly, out_val)
+            ores_new = blend(infeas, Ek, ores)
+            ores_new = blend(exhausted, res_bud, ores_new)
+            ores_new = blend(lfail, Ek, ores_new)
+            ores_new = blend(success & ~done, Ek, ores_new)
+
+            cont = ~done_new
+            xk_next = sel_x(cont, xi, xk)
+            pinfo_new = pinfo + cont.astype(i32)
+            Ek_keep = blend(done, Ek_prev, Ek)
+
+            go = jnp.any(cont)
+            return (k + 1, go, xk_next, dxn_out, itol_new, Ek_keep,
+                    ninfo_new, pinfo_new, done_new.astype(i32),
+                    eflag_new, ores_new)
+
+        write_out(zero_row < 1.0, xk0)
+
+        init = (i32(0), jnp.bool_(True), xk0, dxn0, itol0, E0,
+                zeros_i, zeros_i, zeros_i,
+                zeros_i + int(ExitFlag.MAXITERATIONS), E0)
+        (_, _, xk_f, _, _, Ek_f, ninfo_f, pinfo_f, done_fi, eflag_f,
+         ores_f) = lax.while_loop(ocond, obody, init)
+        done_f = done_fi > 0
+
+        write_out(~done_f, xk_f)
+        out_res = blend(done_f, ores_f, Ek_f)
+        eflag_fin = blend(done_f, eflag_f,
+                          zeros_i + int(ExitFlag.MAXITERATIONS))
+
+        l_out[...] = jnp.zeros((1, Bl), f32)
+        eflag_out[...] = eflag_fin
+        res_out[...] = out_res
+        newton_out[...] = ninfo_f
+        prox_out[...] = pinfo_f
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("options", "interpret", "tile_b"))
+def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
+                             interpret: bool = False,
+                             tile_b: int = TILE_B):
+    """Batched dense solve through the fused kernel (nl == 0 only).
+
+    data: DenseQPData with leading batch dim; z0/l0/v0: (B, n/0/q).
+    Returns (Variable, CoreOut) matching vmap(fbstab_solve)."""
+    opts = options.validated()
+    B, n = data.H.shape[0], data.H.shape[-1]
+    q = data.A.shape[-2]
+    if data.G.shape[-2] != 0:
+        raise ValueError("fused dense solver requires nl == 0")
+    dtype = z0.dtype
+
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    pad = Bp - B
+    T = Bp // tile_b
+
+    def prep(a, shape):
+        a = a.reshape((B,) + shape)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        a = a.reshape((T, tile_b) + shape)
+        return jnp.moveaxis(a, 1, -1)
+
+    ins = (
+        prep(data.H, (n, n)), prep(data.f, (n,)),
+        prep(data.A, (q, n)), prep(data.b, (q,)),
+        prep(z0, (n,)), prep(jnp.zeros((B, 1), dtype), (1,)),
+        prep(v0, (q,)),
+    )
+
+    kernel = _make_dense_kernel(n, q, opts)
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((n, tile_b), dtype),
+        jax.ShapeDtypeStruct((1, tile_b), dtype),
+        jax.ShapeDtypeStruct((q, tile_b), dtype),
+        jax.ShapeDtypeStruct((q, tile_b), dtype),
+        jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
+        jax.ShapeDtypeStruct((1, tile_b), dtype),
+        jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
+        jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
+        jax.ShapeDtypeStruct((1, tile_b), dtype),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[vspec() for _ in ins],
+        out_specs=tuple(vspec() for _ in out_shape),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((1, tile_b), dtype)],
+        interpret=interpret,
+    )
+
+    outs = lax.map(lambda a: call(*a), ins)
+
+    def unprep(a, flat):
+        a = jnp.moveaxis(a, -1, 1).reshape((Bp,) + a.shape[1:-1])
+        a = a[:B]
+        return a.reshape(B, flat) if flat else a.reshape(B)
+
+    x = Variable(
+        z=unprep(outs[0], n), l=jnp.zeros((B, 0), dtype),
+        v=unprep(outs[2], q), y=unprep(outs[3], q))
+    core = CoreOut(
+        eflag=unprep(outs[4], 0), residual=unprep(outs[5], 0),
+        newton_iters=unprep(outs[6], 0), prox_iters=unprep(outs[7], 0),
+        initial_residual=unprep(outs[8], 0))
+    return x, core
