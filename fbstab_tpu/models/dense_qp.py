@@ -230,7 +230,7 @@ def _fused_dense_eligible(data: DenseQPData, dtype) -> bool:
     nl = data.G.shape[-2]
     n = data.H.shape[-1]
     q = data.A.shape[-2]
-    dims_ok = nl == 0 and n <= 64 and q <= 128
+    dims_ok = n <= 64 and q <= 128 and nl <= 64
     if PALLAS_MODE == "interpret":
         return dims_ok
     return (jax.default_backend() == "tpu" and dtype == jnp.float32
@@ -242,9 +242,8 @@ def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
     """Batched dense solve: every array in `data` and the guesses carry a
     leading batch dimension. Masked-lockstep semantics via vmapped
     while_loops (the reference has no batch mode; this is the TPU 'DP'
-    analog, SURVEY.md section 2). On TPU, f32 inequality-only batches
-    dispatch to the fully fused Pallas solver kernel
-    (ops/dense_solve_pallas.py)."""
+    analog, SURVEY.md section 2). On TPU, f32 batches dispatch to the
+    fully fused Pallas solver kernel (ops/dense_solve_pallas.py)."""
     if _fused_dense_eligible(data, z0.dtype):
         from fbstab_tpu.ops.dense_solve_pallas import (
             fbstab_dense_solve_fused)

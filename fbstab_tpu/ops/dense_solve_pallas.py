@@ -1,11 +1,10 @@
-"""Fully fused FBstab solver kernel for dense inequality-constrained QPs.
+"""Fully fused FBstab solver kernel for dense QPs.
 
 The dense sibling of ops/mpc_solve_pallas.py: the whole FBstab algorithm
 (outer proximal loop, inner Newton loop, nonmonotone linesearch,
 feasibility checks) for a tile of TILE_B QP instances in the lane
-dimension. Scope: nl == 0 (inequality-only QPs, the reference's
-FeasibleQP/DegenerateQP class and the batched-dense benchmark config);
-equality-constrained problems use the XLA path.
+dimension, covering both inequality-only (nl == 0) and
+equality-constrained problems.
 
 Same masked-lockstep semantics as vmap(fbstab_solve) (validated in
 interpret mode), same Mosaic workarounds as the MPC kernel (2-D state,
@@ -13,9 +12,9 @@ interpret mode), same Mosaic workarounds as the MPC kernel (2-D state,
 layout round-trips — see that module's docstring and CLAUDE.md).
 
 The Newton step is the quasi-definite block factorization of
-models/dense_qp.py with nl == 0:  E = H + sigma*I + A' diag(Gamma) A,
-Le = chol(E), dz = E^{-1}(rz - A'(rv./mu)), dv/dy recovered elementwise
-(reference: dense_cholesky_solver.cc:32-127).
+models/dense_qp.py:  E = H + sigma*I + A' diag(Gamma) A, Le = chol(E),
+then (for nl > 0) the SPD Schur complement S = sigma*I + W'W with
+W = Le^{-1} G' (reference: dense_cholesky_solver.cc:32-127).
 """
 
 from __future__ import annotations
@@ -52,12 +51,16 @@ from fbstab_tpu.solver_out import ExitFlag
 TILE_B = 128
 
 
-def _make_dense_kernel(n, q, opts: Options):
+def _make_dense_kernel(n, q, nl, opts: Options):
+    """Kernel body for static sizes (nl == 0 statically removes every
+    equality-block computation; the dummy l rows are never touched)."""
     sigma = float(opts.sigma0)
     alpha = float(opts.alpha)
+    HAS_EQ = nl > 0
+    nl_p = max(nl, 1)
 
-    def kernel(H_ref, f_ref, A_ref, b_ref,
-               z0_ref, l0_ref_unused, v0_ref,
+    def kernel(H_ref, f_ref, G_ref, h_ref, A_ref, b_ref,
+               z0_ref, l0_ref, v0_ref,
                z_out, l_out, v_out, y_out,
                eflag_out, res_out, newton_out, prox_out, e0_out,
                red_s):
@@ -67,7 +70,12 @@ def _make_dense_kernel(n, q, opts: Options):
         Hmat = H_ref[...]            # (n, n, B)
         ff = f_ref[...]              # (n, B)
         bb = b_ref[...]              # (q, B)
+        Gmat = G_ref[...]            # (nl_p, n, B); garbage rows if !HAS_EQ
+        hv = h_ref[...]              # (nl_p, B)
         In = jnp.broadcast_to(jnp.eye(n, dtype=f32)[..., None], (n, n, Bl))
+        if HAS_EQ:
+            Il = jnp.broadcast_to(
+                jnp.eye(nl, dtype=f32)[..., None], (nl, nl, Bl))
 
         def mater(x):
             red_s[...] = x
@@ -79,25 +87,42 @@ def _make_dense_kernel(n, q, opts: Options):
         def imax(a):
             return mater(jnp.max(jnp.abs(a), axis=0, keepdims=True))
 
-        forcing = mater(jnp.sqrt(ssum(ff) + ssum(bb)))
+        if HAS_EQ:
+            forcing = mater(jnp.sqrt(ssum(ff) + ssum(hv) + ssum(bb)))
+        else:
+            forcing = mater(jnp.sqrt(ssum(ff) + ssum(bb)))
         combo_tol = opts.abs_tol + opts.rel_tol * (1.0 + forcing)
 
-        def inner_residual(z, v, y, bz, bv):
+        # State X = (z, l, v, y); l is a dummy zero row when !HAS_EQ.
+        def inner_residual(z, l, v, y, bz, bl, bv):
             rz = (ff + _mv(Hmat, z) + _mv(_T(Amat), v)
                   + sigma * (z - bz))
             rv = pfb(y + sigma * (v - bv), v, alpha)
-            return rz, rv
+            if HAS_EQ:
+                rz = rz + _mv(_T(Gmat), l)
+                rl = hv - _mv(Gmat, z) + sigma * (l - bl)
+            else:
+                rl = jnp.zeros((1, Bl), f32)
+            return rz, rl, rv
 
-        def pnr(z, v, y):
+        def pnr(z, l, v, y):
             rz = ff + _mv(Hmat, z) + _mv(_T(Amat), v)
             rv = (alpha * jnp.minimum(y, v)
                   + (1.0 - alpha) * jnp.maximum(0.0, y)
                   * jnp.maximum(0.0, v))
-            return rz, rv
+            if HAS_EQ:
+                rz = rz + _mv(_T(Gmat), l)
+                rl = hv - _mv(Gmat, z)
+            else:
+                rl = jnp.zeros((1, Bl), f32)
+            return rz, rl, rv
 
-        def rnorm(r2):
-            rz, rv = r2
-            return mater(jnp.sqrt(ssum(rz) + ssum(rv)))
+        def rnorm(r3):
+            rz, rl, rv = r3
+            s = ssum(rz) + ssum(rv)
+            if HAS_EQ:
+                s = s + ssum(rl)
+            return mater(jnp.sqrt(s))
 
         def blend(m, a, b):
             mf = m.astype(a.dtype) if a.dtype != jnp.int32 else \
@@ -110,38 +135,60 @@ def _make_dense_kernel(n, q, opts: Options):
             mf = jnp.zeros(a.shape, jnp.float32) + m.astype(jnp.float32)
             return jnp.where(mf > 0.5, a, b)
 
-        X = tuple  # (z, v, y)
+        X = tuple  # (z, l, v, y)
 
         def sel_x(m, a, b):
             return X(sel(m, ai, bi) for ai, bi in zip(a, b))
 
-        def newton_step(z, v, y, bv, rz, rv):
-            """Factor E = H + sigma I + A' Gamma A, solve for (dz, dv, dy)
-            with the already-NEGATED residual (rz, rv)."""
+        def newton_step(z, l, v, y, bv, rz, rl, rv):
+            """Quasi-definite block solve with the already-NEGATED
+            residual (rz, rl, rv) (dense_cholesky_solver.cc:32-127)."""
             ys = y + sigma * (v - bv)
             gamma, mus = _pfb_weights(ys, v, sigma, alpha)
             GA = (gamma / mus)[:, None, :] * Amat          # (q, n, B)
             E = Hmat + sigma * In + _mm(_T(Amat), GA)
             Le = _chol(E)
             r1 = rz - _mv(_T(Amat), rv / mus)
-            dz = _tri_upperT(Le, _tri_lower(Le, r1))
+            if HAS_EQ:
+                r2 = -rl
+                W = _tri_lower(Le, _T(Gmat))               # (n, nl, B)
+                S = sigma * Il + _mm(_T(W), W)
+                Ls = _chol(S)
+                u = _tri_lower(Le, r1)
+                rhs_l = _mv(_T(W), u) - r2
+                dl = _tri_upperT(Ls, _tri_lower(Ls, rhs_l))
+                rhs_z = r1 - _mv(_T(Gmat), dl)
+                dz = _tri_upperT(Le, _tri_lower(Le, rhs_z))
+                nan_ct = mater(
+                    jnp.sum(jnp.isnan(dz).astype(f32), axis=0,
+                            keepdims=True)
+                    + jnp.sum(jnp.isnan(dl).astype(f32), axis=0,
+                              keepdims=True))
+            else:
+                dl = jnp.zeros((1, Bl), f32)
+                dz = _tri_upperT(Le, _tri_lower(Le, r1))
+                nan_ct = mater(jnp.sum(jnp.isnan(dz).astype(f32), axis=0,
+                                       keepdims=True))
             Adz = _mv(Amat, dz)
             dv = (rv + gamma * Adz) / mus
             dy = bb - Adz
-            nan_ct = mater(jnp.sum(jnp.isnan(dz).astype(f32), axis=0,
-                                   keepdims=True))
             ok = nan_ct < 0.5
-            return dz, dv, dy, ok
+            return dz, dl, dv, dy, ok
 
         # ---------- initialization ----------
         z0 = z0_ref[...]
+        l0 = l0_ref[...] if HAS_EQ else jnp.zeros((1, Bl), f32)
         v0 = v0_ref[...]
         y0 = bb - _mv(Amat, z0)
-        xk0 = X((z0, v0, y0))
+        xk0 = X((z0, l0, v0, y0))
 
         oz = jnp.ones_like(z0)
         ov = jnp.ones_like(v0)
-        dxn0 = mater(jnp.sqrt(ssum(oz) + ssum(ov)))
+        if HAS_EQ:
+            dxn0 = mater(jnp.sqrt(ssum(oz) + ssum(jnp.ones_like(l0))
+                                  + ssum(ov)))
+        else:
+            dxn0 = mater(jnp.sqrt(ssum(oz) + ssum(ov)))
 
         E0 = rnorm(pnr(*xk0))
         e0_out[...] = E0
@@ -166,7 +213,8 @@ def _make_dense_kernel(n, q, opts: Options):
                  Ei_best, stall_ct) = c
                 idone = idone_i > 0
                 lfail = lfail_i > 0
-                ri = inner_residual(xi[0], xi[1], xi[2], xk[0], xk[1])
+                ri = inner_residual(xi[0], xi[1], xi[2], xi[3],
+                                    xk[0], xk[1], xk[2])
                 Ei = rnorm(ri)
                 Eo_new = rnorm(pnr(*xi))
 
@@ -181,8 +229,9 @@ def _make_dense_kernel(n, q, opts: Options):
                 Ei_best = jnp.minimum(Ei_best, Ei)
 
                 step = active & ~idone & ~brk & ~lfail
-                dz, dv, dy, ok = newton_step(
-                    xi[0], xi[1], xi[2], xk[1], -ri[0], -ri[1])
+                dz, dl, dv, dy, ok = newton_step(
+                    xi[0], xi[1], xi[2], xi[3], xk[2],
+                    -ri[0], -ri[1], -ri[2])
                 lfail_new = lfail | (step & ~ok)
 
                 current_merit = 0.5 * Ei * Ei
@@ -198,9 +247,10 @@ def _make_dense_kernel(n, q, opts: Options):
 
                 def lbody(lc):
                     j, t, _, _ = lc
-                    xp = X((xi[0] + t * dz, xi[1] + t * dv,
-                            xi[2] + t * (dy - bb)))
-                    rp = inner_residual(xp[0], xp[1], xp[2], xk[0], xk[1])
+                    xp = X((xi[0] + t * dz, xi[1] + t * dl,
+                            xi[2] + t * dv, xi[3] + t * (dy - bb)))
+                    rp = inner_residual(xp[0], xp[1], xp[2], xp[3],
+                                        xk[0], xk[1], xk[2])
                     np_ = rnorm(rp)
                     mp = 0.5 * np_ * np_
                     accept = mp <= m0 - 2.0 * t * opts.eta * current_merit
@@ -214,8 +264,8 @@ def _make_dense_kernel(n, q, opts: Options):
                     (i32(0), one_row, jnp.bool_(True), zeros_i))
 
                 tm = step.astype(f32) * t_fin
-                xi_new = X((xi[0] + tm * dz, xi[1] + tm * dv,
-                            xi[2] + tm * (dy - bb)))
+                xi_new = X((xi[0] + tm * dz, xi[1] + tm * dl,
+                            xi[2] + tm * dv, xi[3] + tm * (dy - bb)))
 
                 ninfo_new = ninfo + step.astype(i32)
                 Eo_out = blend(active & ~idone, Eo_new, Eo)
@@ -230,16 +280,21 @@ def _make_dense_kernel(n, q, opts: Options):
                     merit0, zeros_i, zeros_i, zero_row + jnp.inf, zeros_i)
             (_, _, xi, Eo, ninfo, _, _, lfail_i, _, _) = lax.while_loop(
                 icond, ibody, init)
-            xi = X((xi[0], jnp.maximum(xi[1], 0.0), xi[2]))
+            xi = X((xi[0], xi[1], jnp.maximum(xi[2], 0.0), xi[3]))
             return xi, Eo, ninfo, lfail_i > 0
 
         # ---------- outer proximal loop ----------
         def write_out(mask, xval):
             mz = jnp.zeros((n, Bl), f32) + mask.astype(f32)
             z_out[...] = jnp.where(mz > 0.5, xval[0], z_out[...])
+            ml = jnp.zeros((nl_p, Bl), f32) + mask.astype(f32)
+            l_out[...] = jnp.where(
+                ml > 0.5,
+                xval[1] if HAS_EQ else jnp.zeros((nl_p, Bl), f32),
+                l_out[...])
             mv2 = jnp.zeros((q, Bl), f32) + mask.astype(f32)
-            v_out[...] = jnp.where(mv2 > 0.5, xval[1], v_out[...])
-            y_out[...] = jnp.where(mv2 > 0.5, xval[2], y_out[...])
+            v_out[...] = jnp.where(mv2 > 0.5, xval[2], v_out[...])
+            y_out[...] = jnp.where(mv2 > 0.5, xval[3], y_out[...])
 
         def ocond(c):
             return c[1] & (c[0] < opts.max_prox_iters)
@@ -256,9 +311,12 @@ def _make_dense_kernel(n, q, opts: Options):
             xi, Eo, ninfo_new, lfail = solve_subproblem(
                 xk, itol_new, Ek, ninfo, active)
 
-            dx_new = X((xi[0] - xk[0], xi[1] - xk[1],
-                        xi[2] - xk[2] + bb))
-            dxn_new = mater(jnp.sqrt(ssum(dx_new[0]) + ssum(dx_new[1])))
+            dx_new = X((xi[0] - xk[0], xi[1] - xk[1], xi[2] - xk[2],
+                        xi[3] - xk[3] + bb))
+            s_dx = ssum(dx_new[0]) + ssum(dx_new[2])
+            if HAS_EQ:
+                s_dx = s_dx + ssum(dx_new[1])
+            dxn_new = mater(jnp.sqrt(s_dx))
             dxn_out = blend(active, dxn_new, dxn)
 
             exhausted = active & (ninfo_new >= opts.max_newton_iters)
@@ -267,7 +325,7 @@ def _make_dense_kernel(n, q, opts: Options):
             res_bud = rnorm(pnr(*xbud))
 
             if opts.check_feasibility:
-                dz_, dv_ = dx_new[0], dx_new[1]
+                dz_, dl_, dv_ = dx_new[0], dx_new[1], dx_new[2]
                 d1 = mater(jnp.max(_mv(Amat, dz_), axis=0, keepdims=True))
                 d3 = imax(_mv(Hmat, dz_))
                 d4 = mater(jnp.sum(ff * dz_, axis=0, keepdims=True))
@@ -275,9 +333,20 @@ def _make_dense_kernel(n, q, opts: Options):
                 tol_i = opts.infeas_tol
                 d_inf = ((d1 <= w * tol_i) & (d3 <= tol_i * w)
                          & (d4 < 0) & (w > 1e-14))
-                p1 = imax(_mv(_T(Amat), dv_))
-                p2 = mater(jnp.sum(bb * dv_, axis=0, keepdims=True))
-                uu = imax(dv_)
+                p1v = _mv(_T(Amat), dv_)
+                p2 = jnp.sum(bb * dv_, axis=0, keepdims=True)
+                uu_raw = jnp.max(jnp.abs(dv_), axis=0, keepdims=True)
+                if HAS_EQ:
+                    d2 = imax(_mv(Gmat, dz_))
+                    d_inf = d_inf & (d2 <= tol_i * w)
+                    p1v = p1v + _mv(_T(Gmat), dl_)
+                    p2 = p2 + jnp.sum(hv * dl_, axis=0, keepdims=True)
+                    uu_raw = jnp.maximum(
+                        uu_raw, jnp.max(jnp.abs(dl_), axis=0,
+                                        keepdims=True))
+                p1 = imax(p1v)
+                p2 = mater(p2)
+                uu = mater(uu_raw)
                 p_inf = (p1 <= tol_i * uu) & (p2 < 0)
             else:
                 p_inf = false_b
@@ -338,7 +407,6 @@ def _make_dense_kernel(n, q, opts: Options):
         eflag_fin = blend(done_f, eflag_f,
                           zeros_i + int(ExitFlag.MAXITERATIONS))
 
-        l_out[...] = jnp.zeros((1, Bl), f32)
         eflag_out[...] = eflag_fin
         res_out[...] = out_res
         newton_out[...] = ninfo_f
@@ -352,15 +420,15 @@ def _make_dense_kernel(n, q, opts: Options):
 def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
                              interpret: bool = False,
                              tile_b: int = TILE_B):
-    """Batched dense solve through the fused kernel (nl == 0 only).
+    """Batched dense solve through the fused kernel.
 
-    data: DenseQPData with leading batch dim; z0/l0/v0: (B, n/0/q).
+    data: DenseQPData with leading batch dim; z0/l0/v0: (B, n/nl/q).
     Returns (Variable, CoreOut) matching vmap(fbstab_solve)."""
     opts = options.validated()
     B, n = data.H.shape[0], data.H.shape[-1]
     q = data.A.shape[-2]
-    if data.G.shape[-2] != 0:
-        raise ValueError("fused dense solver requires nl == 0")
+    nl = data.G.shape[-2]
+    nl_p = max(nl, 1)
     dtype = z0.dtype
 
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
@@ -375,18 +443,29 @@ def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
         a = a.reshape((T, tile_b) + shape)
         return jnp.moveaxis(a, 1, -1)
 
+    def prep_eq(a, shape):
+        """Equality-block arrays; a zero dummy with nl_p rows when
+        nl == 0 (the kernel statically skips every use)."""
+        if nl > 0:
+            return prep(a, shape)
+        dummy_shape = (nl_p,) + shape[1:]
+        return prep(jnp.zeros((B,) + dummy_shape, dtype), dummy_shape)
+
     ins = (
         prep(data.H, (n, n)), prep(data.f, (n,)),
+        prep_eq(data.G, (nl, n)),
+        prep_eq(data.h, (nl,)),
         prep(data.A, (q, n)), prep(data.b, (q,)),
-        prep(z0, (n,)), prep(jnp.zeros((B, 1), dtype), (1,)),
+        prep(z0, (n,)),
+        prep_eq(l0, (nl,)),
         prep(v0, (q,)),
     )
 
-    kernel = _make_dense_kernel(n, q, opts)
+    kernel = _make_dense_kernel(n, q, nl, opts)
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((n, tile_b), dtype),
-        jax.ShapeDtypeStruct((1, tile_b), dtype),
+        jax.ShapeDtypeStruct((nl_p, tile_b), dtype),
         jax.ShapeDtypeStruct((q, tile_b), dtype),
         jax.ShapeDtypeStruct((q, tile_b), dtype),
         jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
@@ -412,8 +491,10 @@ def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
         a = a[:B]
         return a.reshape(B, flat) if flat else a.reshape(B)
 
+    l = (unprep(outs[1], nl_p)[:, :nl] if nl > 0
+         else jnp.zeros((B, 0), dtype))
     x = Variable(
-        z=unprep(outs[0], n), l=jnp.zeros((B, 0), dtype),
+        z=unprep(outs[0], n), l=l,
         v=unprep(outs[2], q), y=unprep(outs[3], q))
     core = CoreOut(
         eflag=unprep(outs[4], 0), residual=unprep(outs[5], 0),

@@ -69,3 +69,34 @@ def test_dense_fused_infeasible_flags(monkeypatch):
     assert ef[0] == ExitFlag.SUCCESS
     assert ef[1] == ExitFlag.PRIMAL_INFEASIBLE
     assert ef[2] == ExitFlag.DUAL_INFEASIBLE
+
+
+def test_dense_fused_equality_constraints(monkeypatch):
+    """nl > 0: Schur-complement block solve inside the kernel matches the
+    XLA path exactly (iteration counts and iterates)."""
+    monkeypatch.setattr(dq, "PALLAS_MODE", "off")
+    jax.clear_caches()
+    B, n, q, nl = 8, 4, 6, 2
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((B, n, n))
+    H = M @ np.transpose(M, (0, 2, 1)) / n + np.eye(n)
+    data = DenseQPData(
+        H=jnp.asarray(H),
+        f=jnp.asarray(rng.standard_normal((B, n))),
+        G=jnp.asarray(rng.standard_normal((B, nl, n))),
+        h=jnp.asarray(0.1 * rng.standard_normal((B, nl))),
+        A=jnp.asarray(rng.standard_normal((B, q, n))),
+        b=jnp.asarray(np.abs(rng.standard_normal((B, q))) + 1.0))
+    z0 = jnp.zeros((B, n))
+    l0 = jnp.zeros((B, nl))
+    v0 = jnp.zeros((B, q))
+    opts = Options(abs_tol=1e-8)
+    x_ref, core_ref = solve_dense_qp_batch(data, z0, l0, v0, opts)
+    x_f, core_f = fbstab_dense_solve_fused(
+        data, z0, l0, v0, opts, interpret=True, tile_b=4)
+    np.testing.assert_array_equal(core_f.eflag, core_ref.eflag)
+    np.testing.assert_array_equal(core_f.newton_iters,
+                                  core_ref.newton_iters)
+    np.testing.assert_allclose(x_f.z, x_ref.z, atol=1e-9)
+    np.testing.assert_allclose(x_f.l, x_ref.l, atol=1e-9)
+    np.testing.assert_allclose(x_f.v, x_ref.v, atol=1e-9)
