@@ -37,6 +37,7 @@ from fbstab_tpu.core.problem import ProblemOps
 from fbstab_tpu.core.residuals import (
     inner_residual,
     penalized_natural_residual,
+    residual_block_norms,
     residual_norm,
 )
 from fbstab_tpu.core.variable import Variable, project_duals, var_axpy, var_norm
@@ -72,6 +73,8 @@ class _InnerState(NamedTuple):
     lin_fail: jnp.ndarray
     Ei_best: jnp.ndarray      # best inner residual so far (stall guard)
     stall_count: jnp.ndarray  # consecutive non-improving iterations
+    Ei: jnp.ndarray           # last inner residual norm (display)
+    t: jnp.ndarray            # last accepted step length (display)
 
 
 def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
@@ -94,13 +97,14 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
         rk = penalized_natural_residual(ops, data, s.x, alpha)
         Eo = residual_norm(rk)
 
-        # Detailed inner-iteration lines (reference: PrintIterDetailed,
-        # fbstab_algorithm-impl.h:443-489). Static gate: zero cost unless
-        # enabled.
+        # Detailed inner-iteration lines (reference: PrintDetailedLine,
+        # fbstab_algorithm-impl.h:443-476: iter, previous step size, and the
+        # blockwise norms of ri). Static gate: zero cost unless enabled.
         if opts.display_level == Display.ITER_DETAILED:
+            bz, bl, bv = residual_block_norms(ri)
             jax.debug.print(
-                "  inner {i:>4}  newton {n:>5}  |ri| {e:>12.4e}  "
-                "tol {t:>12.4e}", i=s.i, n=s.newton_iters, e=Ei, t=tol)
+                "{i:>10}  {t:>10.6e}  {bz:>10.6e}  {bl:>10.6e}  "
+                "{bv:>10.6e}", i=s.i, t=s.t, bz=bz, bl=bl, bv=bv)
 
         # Exit checks (impl.h:250-251 then :258).
         brk = (((Ei <= tol) & (Eo < Eouter)) | (Ei <= opts.inner_tol_min)
@@ -155,19 +159,29 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
                 (jnp.int32(0), jnp.asarray(1.0, dtype), jnp.bool_(False)))
 
             x_new = var_axpy(t, dx, x, b_vec)  # x <- x + t*dx (impl.h:298)
-            return x_new, buf, n_iters + 1, ~ok
+            return x_new, buf, n_iters + 1, ~ok, t
 
         def skip_step(operand):
             x, merit_buf, n_iters = operand
-            return x, merit_buf, n_iters, jnp.bool_(False)
+            return x, merit_buf, n_iters, jnp.bool_(False), s.t
 
-        x_new, buf_new, n_new, fail = lax.cond(
+        x_new, buf_new, n_new, fail, t_new = lax.cond(
             brk, skip_step, newton_step, (s.x, s.merit_buf, s.newton_iters))
+
+        if opts.display_level == Display.ITER_DETAILED:
+            # Footer on exit (reference: PrintDetailedFooter, impl.h:476-489).
+            def _footer(e, tl):
+                jax.debug.print(
+                    "Exiting inner loop. Inner residual: {e:6.4e}, "
+                    "Inner tolerance: {t:6.4e}", e=e, t=tl)
+                return ()
+
+            lax.cond(brk, lambda: _footer(Ei, tol), lambda: ())
 
         return _InnerState(
             x=x_new, Eo=Eo, i=s.i + 1, newton_iters=n_new,
             merit_buf=buf_new, done=brk, lin_fail=fail,
-            Ei_best=Ei_best, stall_count=stall_count)
+            Ei_best=Ei_best, stall_count=stall_count, Ei=Ei, t=t_new)
 
     init = _InnerState(
         x=x0,
@@ -179,18 +193,21 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
         lin_fail=jnp.bool_(False),
         Ei_best=jnp.asarray(jnp.inf, dtype),
         stall_count=jnp.int32(0),
+        Ei=jnp.zeros((), dtype),
+        t=jnp.ones((), dtype),
     )
     final = lax.while_loop(cond, body, init)
 
     # Make duals non-negative (impl.h:301).
     x = project_duals(final.x)
-    return x, final.Eo, final.newton_iters, final.lin_fail
+    return x, final.Eo, final.newton_iters, final.lin_fail, final.Ei
 
 
 class _OuterState(NamedTuple):
     xk: Variable
     dx: Variable
     inner_tol: jnp.ndarray
+    ri_norm: jnp.ndarray      # last subproblem residual norm (display)
     Ek: jnp.ndarray
     newton_iters: jnp.ndarray
     prox_iters: jnp.ndarray
@@ -241,10 +258,29 @@ def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
         # Success / stall exit (impl.h:162-169).
         success = (Ek <= combo_tol) | (var_norm(s.dx) <= opts.stall_tol)
 
-        if opts.display_level >= Display.ITER:
+        # Outer iteration lines (reference: PrintIterLine,
+        # fbstab_algorithm-impl.h:414-426 — printed both on the success
+        # exit and when continuing, impl.h:165,172).
+        if opts.display_level == Display.ITER:
+            bz, bl, bv = residual_block_norms(rk)
             jax.debug.print(
-                "prox {k:>4}  newton {n:>5}  |r| {e:>12.4e}  itol {t:>12.4e}",
-                k=s.prox_iters, n=s.newton_iters, e=Ek, t=s.inner_tol)
+                "{k:>12}  {n:>12}  {bz:>12.4e}  {bl:>12.4e}  {bv:>12.4e}  "
+                "{ri:>12.4e}  {t:>12.4e}",
+                k=s.prox_iters, n=s.newton_iters, bz=bz, bl=bl, bv=bv,
+                ri=s.ri_norm, t=s.inner_tol)
+        elif opts.display_level == Display.ITER_DETAILED:
+            # Begin-subproblem header (reference: PrintDetailedHeader,
+            # impl.h:446-460), printed only when continuing (impl.h:170-172).
+            def _hdr():
+                jax.debug.print(
+                    "Begin Prox Iter: {k}, Total Newton Iters: {n}, "
+                    "Residual: {e:6.4e}\n"
+                    "      Iter   Step Size        |rz|        |rl|"
+                    "        |rv|",
+                    k=s.prox_iters, n=s.newton_iters, e=Ek)
+                return ()
+
+            lax.cond(success, lambda: (), _hdr)
 
         # Subproblem tolerance update (impl.h:179-180).
         inner_tol = jnp.clip(s.inner_tol * opts.delta, opts.inner_tol_min, Ek)
@@ -256,9 +292,10 @@ def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
 
         def skip_subproblem(operand):
             xk, _, _, n_iters = operand
-            return xk, jnp.zeros((), dtype), n_iters, jnp.bool_(False)
+            return (xk, jnp.zeros((), dtype), n_iters, jnp.bool_(False),
+                    s.ri_norm)
 
-        xi, Eo, n_iters, lin_fail = lax.cond(
+        xi, Eo, n_iters, lin_fail, ri_norm = lax.cond(
             success, skip_subproblem, run_subproblem,
             (s.xk, inner_tol, Ek, s.newton_iters))
 
@@ -318,13 +355,21 @@ def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
         prox_next = jnp.where(cont, s.prox_iters + 1, s.prox_iters)
 
         return _OuterState(
-            xk=xk_next, dx=dx, inner_tol=inner_tol, Ek=Ek,
+            xk=xk_next, dx=dx, inner_tol=inner_tol, ri_norm=ri_norm, Ek=Ek,
             newton_iters=n_iters, prox_iters=prox_next, k=s.k + 1,
             done=done, eflag=eflag, out_x=out_x, out_res=out_res)
+
+    # Column header, printed once per solve (reference: PrintIterHeader,
+    # impl.h:428-441, called before the outer loop at impl.h:155).
+    if opts.display_level == Display.ITER:
+        jax.debug.print(
+            "   prox iter  newton iters          |rz|          |rl|"
+            "          |rv|     Inner res     Inner tol")
 
     init = _OuterState(
         xk=xk, dx=dx0,
         inner_tol=inner_tol0,
+        ri_norm=jnp.zeros((), dtype),
         Ek=E0,
         newton_iters=jnp.int32(0),
         prox_iters=jnp.int32(0),

@@ -31,6 +31,15 @@ def residual_norm(r: Residual):
     return jnp.sqrt(s)
 
 
+def residual_block_norms(r: Residual):
+    """(|rz|, |rl|, |rv|), the cached per-block norms of the reference
+    (full_residual.h z_norm()/l_norm()/v_norm(), used by the ITER display
+    tables, fbstab_algorithm-impl.h:414-430)."""
+    return (jnp.sqrt(jnp.sum(r.z * r.z)),
+            jnp.sqrt(jnp.sum(r.l * r.l)),
+            jnp.sqrt(jnp.sum(r.v * r.v)))
+
+
 def merit(norm):
     """Merit = 0.5 * ||r||^2 (full_residual.cc:43-47)."""
     return 0.5 * norm * norm

@@ -316,14 +316,17 @@ class FBstabDense:
         fn = self._get_compiled()
         t0 = time.perf_counter()
         x, core = fn(data, x0.z, x0.l, x0.v)
-        jax.block_until_ready((x, core))
+        # Time by materializing a small output: block_until_ready does not
+        # reliably block through the axon TPU tunnel (CLAUDE.md), so it
+        # under-reports on the very hardware this targets.
+        np.asarray(core.residual)
         elapsed = time.perf_counter() - t0
         out = SolverOut(
             eflag=core.eflag, residual=core.residual,
             newton_iters=core.newton_iters, prox_iters=core.prox_iters,
             solve_time=jnp.asarray(elapsed),
             initial_residual=core.initial_residual)
-        self._maybe_print_final(out)
+        self._maybe_print_final(out, data, x)
         return x, out
 
     def _validate(self, data: DenseQPData) -> None:
@@ -339,6 +342,20 @@ class FBstabDense:
                     f"FBstabDense.solve: {name} has shape {got}, "
                     f"expected {want}.")
 
-    def _maybe_print_final(self, out: SolverOut) -> None:
+    def _maybe_print_final(self, out: SolverOut, data: DenseQPData,
+                           x: Variable) -> None:
+        from fbstab_tpu.options import Display
         from fbstab_tpu.utils.printing import print_final
-        print_final(out, self._options)
+        if self._options.display_level < Display.FINAL:
+            return
+        # Closing table (impl.h:529-537): blockwise PNR norms at the
+        # returned point. (For infeasibility exits the returned point is
+        # the certificate, so the norms describe it rather than the last
+        # iterate — documented deviation.)
+        from fbstab_tpu.core.residuals import (
+            penalized_natural_residual, residual_block_norms)
+        bn = residual_block_norms(penalized_natural_residual(
+            DENSE_OPS, data, x, self._options.alpha))
+        combo = float(self._options.abs_tol + self._options.rel_tol
+                      * (1.0 + _forcing_norm(data)))
+        print_final(out, self._options, block_norms=bn, combo_tol=combo)
