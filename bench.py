@@ -21,7 +21,7 @@ import numpy as np
 
 # Raise the scoped-VMEM budget for the fused solver kernel before libtpu
 # initializes (see fbstab_tpu/ops/mpc_solve_pallas.py).
-_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=114688"
 if _VMEM_FLAG not in os.environ.get("LIBTPU_INIT_ARGS", ""):
     os.environ["LIBTPU_INIT_ARGS"] = (
         os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG).strip()
@@ -130,15 +130,156 @@ def run_dense(B=None):
     }))
 
 
-def run_warmstart(B=None, steps=8):
-    """Receding-horizon sweep (python bench.py warmstart): repeated solves
-    with shifted warmstarts, the reference's documented MPC workflow
-    (README.md:20) at batch scale — BASELINE.json config 2."""
+def f64_pnr_np(data, z, l, v, alpha):
+    """Ground-truth penalized natural residual, recomputed in numpy
+    float64 from TPU outputs (z/l/v may be f64 = hi+lo pairs summed).
+    Mirrors full_residual.cc:99-109 with the margin y = b - Az rebuilt in
+    f64."""
+    d = {k: np.asarray(getattr(data, k), np.float64) for k in data._fields}
+    B, N1 = z.shape[0], d["Q"].shape[1]
+    nx, nu, nc = d["Q"].shape[-1], d["R"].shape[-1], d["E"].shape[2]
+    zs = np.asarray(z, np.float64).reshape(B, N1, nx + nu)
+    zx, zu = zs[..., :nx], zs[..., nx:]
+    ls = np.asarray(l, np.float64).reshape(B, N1, nx)
+    vs = np.asarray(v, np.float64).reshape(B, N1, nc)
+    hx = (np.einsum("bsij,bsj->bsi", d["Q"], zx)
+          + np.einsum("bsji,bsj->bsi", d["S"], zu))
+    hu = (np.einsum("bsij,bsj->bsi", d["S"], zx)
+          + np.einsum("bsij,bsj->bsi", d["R"], zu))
+    atl = np.einsum("bsji,bsj->bsi", d["A"], ls[:, 1:])
+    btl = np.einsum("bsji,bsj->bsi", d["B"], ls[:, 1:])
+    gx = -ls + np.concatenate([atl, np.zeros((B, 1, nx))], 1)
+    gu = np.concatenate([btl, np.zeros((B, 1, nu))], 1)
+    ax = np.einsum("bsci,bsc->bsi", d["E"], vs)
+    au = np.einsum("bsci,bsc->bsi", d["L"], vs)
+    rzx = d["q"] + hx + gx + ax
+    rzu = d["r"] + hu + gu + au
+    gzt = (np.einsum("bsij,bsj->bsi", d["A"], zx[:, :-1])
+           + np.einsum("bsij,bsj->bsi", d["B"], zu[:, :-1]) - zx[:, 1:])
+    gz = np.concatenate([-zx[:, :1], gzt], 1)
+    rl = -np.concatenate([d["x0"][:, None, :], d["c"]], 1) - gz
+    az = (np.einsum("bsci,bsi->bsc", d["E"], zx)
+          + np.einsum("bsci,bsi->bsc", d["L"], zu))
+    y = -d["d"] - az
+    rv = (alpha * np.minimum(y, vs)
+          + (1 - alpha) * np.maximum(0, y) * np.maximum(0, vs))
+    sq = lambda a: (a.reshape(B, -1) ** 2).sum(1)
+    return np.sqrt(sq(rzx) + sq(rzu) + sq(rl) + sq(rv))
+
+
+def run_refine(B=None, steps=3):
+    """python bench.py refine: solve + mixed-precision polish to the
+    reference's 1e-6 accuracy contract, f64-verified on the host."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.models.refine import refine_mpc_batch
+    from fbstab_tpu.options import Options
+
+    platform = jax.devices()[0].platform
+    if B is None:
+        B = 128 if platform == "cpu" else 8192
+    N, nx, nu, nc = 30, 8, 3, 6
+    dtype = jnp.float32
+    opts = Options.single_precision()
+    data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
+
+    fs = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    fr = jax.jit(lambda d, x: refine_mpc_batch(d, x, opts, steps=steps))
+    x, core = fs(data, z0, l0, v0)
+    np.asarray(core.residual)
+    refined, hist = fr(data, x)
+    np.asarray(hist[-1])
+
+    t0 = time.perf_counter()
+    x, core = fs(data, z0, l0, v0)
+    np.asarray(core.residual)
+    t_solve = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    refined, hist = fr(data, x)
+    np.asarray(hist[-1])
+    t_refine = time.perf_counter() - t0
+
+    sol = refined.to_float64()
+    res64 = f64_pnr_np(data, sol.z, sol.l, sol.v, opts.alpha)
+    frac = float(np.mean(res64 <= 1e-6))
+    qps = B / (t_solve + t_refine)
+    print(f"bench[refine]: platform={platform} B={B} steps={steps} "
+          f"t_solve={t_solve:.3f}s t_refine={t_refine:.3f}s "
+          f"frac<=1e-6={frac:.3f} med_res={np.median(res64):.2e} "
+          f"max_res={res64.max():.2e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "mpc_refined_1e6_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "QPs/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
+def run_copoly(B=None):
+    """python bench.py copoly: the CopolymerizationReactor benchmark class
+    (nx=18, nu=5, nc=10, N=80 — the reference's largest OCP,
+    ocp_generator.cc:73-169) through the lowmem fused kernel. Baseline:
+    the 10k QPs/s north-star scaled by problem size (nz ratio
+    341/1863 -> 1830 QPs/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models import ocp_fixtures
+    from fbstab_tpu.models.mpc_qp import mpc_dims, solve_mpc_qp_batch
+    from fbstab_tpu.options import Options
+
+    platform = jax.devices()[0].platform
+    if B is None:
+        B = 16 if platform == "cpu" else 1024
+    dtype = jnp.float32
+    opts = Options.single_precision()
+    data, _ = ocp_fixtures.copolymerization_reactor(80, dtype=dtype)
+    import jax as _j
+    batch = _j.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), data)
+    rng = np.random.default_rng(0)
+    batch = batch._replace(
+        x0=jnp.asarray(0.02 * rng.standard_normal((B, 18)), dtype))
+    N, nx, nu, nc = mpc_dims(data)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    z0 = jnp.zeros((B, nz), dtype)
+    l0 = jnp.zeros((B, nl), dtype)
+    v0 = jnp.zeros((B, nv), dtype)
+
+    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    x, core = fn(batch, z0, l0, v0)
+    np.asarray(core.residual)
+    success = float(np.mean(np.asarray(core.eflag) == 0))
+    times = []
+    for i in range(1, 4):
+        fresh = batch._replace(x0=batch.x0 * (1.0 + 1e-6 * i))
+        t0 = time.perf_counter()
+        x, core = fn(fresh, z0, l0, v0)
+        np.asarray(core.residual)
+        times.append(time.perf_counter() - t0)
+    qps = B / min(times)
+    scaled_target = BASELINE_QPS * 341.0 / 1863.0
+    print(f"bench[copoly]: platform={platform} B={B} success={success:.3f} "
+          f"times={['%.3f' % t for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "copoly_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "QPs/s",
+        "vs_baseline": round(qps / scaled_target, 3),
+    }))
+
+
+def run_adaptive(B=None):
+    """python bench.py adaptive: two-phase adaptive vs one-shot on the
+    headline workload (VERDICT r1 item 4: measured uplift or a documented
+    null result)."""
     import jax
     import jax.numpy as jnp
 
     from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
     from fbstab_tpu.options import Options
+    from fbstab_tpu.parallel.adaptive import solve_mpc_qp_batch_adaptive
 
     platform = jax.devices()[0].platform
     if B is None:
@@ -148,22 +289,74 @@ def run_warmstart(B=None, steps=8):
     opts = Options.single_precision()
     data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
 
-    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
-    x, core = fn(data, z0, l0, v0)           # cold solve + compile
+    one = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    x, core = one(data, z0, l0, v0)
     np.asarray(core.residual)
 
-    # Closed-loop-style sweep: decay x0 toward the origin each step and
-    # warmstart from the previous solution.
+    def adaptive(d):
+        return solve_mpc_qp_batch_adaptive(
+            d, z0, l0, v0, opts, phase1_newton_iters=25)
+
+    xa, ca = adaptive(data)                     # compile both phases
+    np.asarray(ca.residual)
+
+    def timeit(fn, d):
+        t0 = time.perf_counter()
+        _, c = fn(d)
+        np.asarray(c.residual)
+        return time.perf_counter() - t0
+
+    t_one = min(timeit(lambda d: one(d, z0, l0, v0),
+                       data._replace(x0=data.x0 * (1 + 1e-6 * i)))
+                for i in range(1, 4))
+    t_ada = min(timeit(adaptive,
+                       data._replace(x0=data.x0 * (1 + 1e-6 * i)))
+                for i in range(1, 4))
+    succ_a = float(np.mean(np.asarray(ca.eflag) == 0))
+    print(f"bench[adaptive]: platform={platform} B={B} one-shot "
+          f"{B / t_one:.0f} QPs/s vs adaptive {B / t_ada:.0f} QPs/s "
+          f"(x{t_one / t_ada:.2f}); adaptive success={succ_a:.3f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "mpc_adaptive_qps_per_chip",
+        "value": round(B / t_ada, 1),
+        "unit": "QPs/s",
+        "vs_baseline": round((B / t_ada) / BASELINE_QPS, 3),
+    }))
+
+
+def run_warmstart(B=None, steps=8):
+    """Receding-horizon sweep (python bench.py warmstart): the closed-loop
+    driver (models/receding_horizon.simulate_batch) running B scenarios
+    for `steps` control steps with shifted warmstarts — the reference's
+    documented MPC workflow (README.md:20) at batch scale, BASELINE.json
+    config 2 — through the batched/fused solver dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.receding_horizon import simulate_batch
+    from fbstab_tpu.options import Options
+
+    platform = jax.devices()[0].platform
+    if B is None:
+        B = 256 if platform == "cpu" else 8192
+    N, nx, nu, nc = 30, 8, 3, 6
+    dtype = jnp.float32
+    opts = Options.single_precision()
+    dataB, _, _, _ = build_batch(B, N, nx, nu, nc, dtype)
+    shared = jax.tree.map(lambda a: a[0], dataB)   # shared plant/cost
+    x0s = dataB.x0
+
+    fn = jax.jit(lambda d, x0: simulate_batch(d, steps, x0, opts))
+    res = fn(shared, x0s)                          # compile + warm
+    np.asarray(res.residual)
+
     t0 = time.perf_counter()
-    total = 0
-    for k in range(steps):
-        data = data._replace(x0=data.x0 * 0.8)
-        x, core = fn(data, x.z, x.l, x.v)
-        total += B
-    np.asarray(core.residual)
+    res = fn(shared, x0s * 1.0001)
+    np.asarray(res.residual)
     elapsed = time.perf_counter() - t0
-    qps = total / elapsed
-    success = float(np.mean(np.asarray(core.eflag) == 0))
+    qps = B * steps / elapsed
+    success = float(np.mean(np.asarray(res.eflag) == 0))
     print(f"bench[warmstart]: platform={platform} B={B} steps={steps} "
           f"success={success:.3f} t={elapsed:.2f}s", file=sys.stderr)
     print(json.dumps({
@@ -253,5 +446,11 @@ if __name__ == "__main__":
         run_dense()
     elif len(sys.argv) > 1 and sys.argv[1] == "warmstart":
         run_warmstart()
+    elif len(sys.argv) > 1 and sys.argv[1] == "refine":
+        run_refine()
+    elif len(sys.argv) > 1 and sys.argv[1] == "adaptive":
+        run_adaptive()
+    elif len(sys.argv) > 1 and sys.argv[1] == "copoly":
+        run_copoly()
     else:
         main()

@@ -462,14 +462,76 @@ def _riccati_solve(d: MpcQPData, fact: RiccatiFactorization, rz, rl, rv
 # "interpret": kernel in interpreter mode (CPU testing).
 PALLAS_MODE = os.environ.get("FBSTAB_PALLAS", "auto")
 
+# Per-tile VMEM budgets (MB) for the fused kernels at TILE_B = 128. The
+# scoped limit is raised to 112 MiB at import (ops/mpc_solve_pallas.py);
+# the budgets leave headroom for Mosaic's own temporaries. Standard mode
+# (stored stage factors) is preferred when it fits — the lowmem
+# (recompute-factors) mode pays ~2x stage-factor FLOPs for the scratch.
+_VMEM_STD_BUDGET_MB = 64.0
+_VMEM_LOWMEM_BUDGET_MB = 90.0
+# Beyond these the kernels are uncharted (compile time / register
+# pressure), independent of VMEM.
+_DIMS_CAP = dict(nx=32, nu=24, nc=48, N=160)
+# The FULL-solve kernel keeps the entire iterate (zx, zu, l, v, y and its
+# trial/step copies) live across its while-loops; beyond ~1000 state rows
+# per lane tile the Mosaic register allocator spills the state to scoped
+# VMEM slots and the program blows the VMEM budget outright (measured:
+# copolymerization at 4941 rows wanted 232 MB of spill slots). Larger
+# problems route to the standalone Newton-step kernel + wide-XLA outer
+# loop instead, whose live set is per-stage matrices only.
+_FULL_SOLVE_ROWS_CAP = 1024
 
-def _kernel_eligible(dtype, nx, nu, nc) -> bool:
+
+def _state_rows(N, nx, nu, nc) -> int:
+    return (N + 1) * (2 * nx + nu + 2 * nc)
+
+
+def _fused_vmem_mb(N, nx, nu, nc, tile_b=128, lowmem=False) -> float:
+    """Working-set model (MB) of the full-solve kernel per tile: inputs +
+    outputs + scratch, mirroring fbstab_mpc_solve_fused's buffer list.
+    The standalone Newton-step kernel's set is within a few MB of this
+    (trades the warmstart inputs for residual inputs), so one model gates
+    both."""
+    N1, b = N + 1, 4 * tile_b / 1e6
+    mats = (N1 * nx * nx + N1 * nu * nu + N1 * nu * nx + N * nx * nx
+            + N * nx * nu + N1 * nc * nx + N1 * nc * nu)
+    vecs_in = N1 * nx + N1 * nu + N * nx + nx + N1 * nc  # q r c x0 d
+    guesses = N1 * (2 * nx + nu + nc)
+    outs = N1 * (nx + nu) + N1 * nx + 2 * N1 * nc + 5
+    scr_vec = (3 * N1 * nx + N1 * nu + 4 * N1 * nc
+               + N1 * nx + N1 * nu + 2 * N1 * nx + 1)
+    scr_mat = N1 * nx * nx                                # Lc
+    if not lowmem:
+        scr_mat += N1 * nx * nx + N1 * nu * nx + N1 * nu * nu
+    return b * (mats + vecs_in + guesses + outs + scr_vec + scr_mat)
+
+
+def _dims_capped(N, nx, nu, nc) -> bool:
+    return (nx <= _DIMS_CAP["nx"] and nu <= _DIMS_CAP["nu"]
+            and nc <= _DIMS_CAP["nc"] and N <= _DIMS_CAP["N"])
+
+
+def _kernel_mode(N, nx, nu, nc):
+    """'std' | 'lowmem' | None: which fused-kernel variant fits VMEM."""
+    if not _dims_capped(N, nx, nu, nc):
+        return None
+    if _fused_vmem_mb(N, nx, nu, nc) <= _VMEM_STD_BUDGET_MB:
+        return "std"
+    if _fused_vmem_mb(N, nx, nu, nc, lowmem=True) <= _VMEM_LOWMEM_BUDGET_MB:
+        return "lowmem"
+    return None
+
+
+def _kernel_eligible(dtype, N, nx, nu, nc):
+    """Newton-step-kernel gate: returns the kernel mode or None."""
     if PALLAS_MODE == "off":
-        return False
+        return None
+    mode = _kernel_mode(N, nx, nu, nc)
     if PALLAS_MODE == "interpret":
-        return True
-    return (jax.default_backend() == "tpu" and dtype == jnp.float32
-            and nx <= 16 and nu <= 16 and nc <= 32)
+        return mode
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        return mode
+    return None
 
 
 def _fused_step_impl(d, v, y, vbar, rz, rl, rv, sigma, alpha):
@@ -494,13 +556,15 @@ def _make_fused_step(alpha: float):
         sigma_b = in_batched[7]
         # mpc_dims reads trailing axes, so batched leaves are fine as-is.
         N, nx, nu, nc = mpc_dims(d)
+        mode = _kernel_eligible(v.dtype, N, nx, nu, nc)
         if (data_b and vecs_b and not sigma_b and v.ndim == 2
-                and _kernel_eligible(v.dtype, nx, nu, nc)):
+                and mode is not None):
             from fbstab_tpu.ops.riccati_pallas import (
                 riccati_newton_step_batched)
             dz, dl, dv, dy = riccati_newton_step_batched(
                 d, v, y, vbar, rz, rl, rv, sigma, alpha,
-                interpret=(PALLAS_MODE == "interpret"))
+                interpret=(PALLAS_MODE == "interpret"),
+                lowmem=(mode == "lowmem"))
             ok = (jnp.all(jnp.isfinite(dz), axis=1)
                   & jnp.all(jnp.isfinite(dl), axis=1))
             return (dz, dl, dv, dy, ok), (True,) * 5
@@ -543,18 +607,23 @@ def solve_mpc_qp(data: MpcQPData, z0, l0, v0, options: Options = Options()):
     return fbstab_solve(MPC_OPS, data, z0, l0, v0, options)
 
 
-def _fused_solve_eligible(data: MpcQPData, dtype) -> bool:
+def _fused_solve_eligible(data: MpcQPData, dtype):
     """Gate for the fully fused solver kernel (ops/mpc_solve_pallas.py):
-    f32 TPU batches with stage dims small enough for the per-tile VMEM
-    working set."""
+    f32 TPU batches whose per-tile VMEM working set fits the budget AND
+    whose carried state fits the register file (_FULL_SOLVE_ROWS_CAP).
+    Returns the kernel mode ('std' | 'lowmem') or None; ineligible
+    problems fall to the Newton-step-kernel + XLA outer loop path."""
     if PALLAS_MODE == "off":
-        return False
+        return None
     N, nx, nu, nc = mpc_dims(data)
-    dims_ok = nx <= 8 and nu <= 8 and nc <= 16 and N <= 60
+    if _state_rows(N, nx, nu, nc) > _FULL_SOLVE_ROWS_CAP:
+        return None
+    mode = _kernel_mode(N, nx, nu, nc)
     if PALLAS_MODE == "interpret":
-        return dims_ok
-    return (jax.default_backend() == "tpu" and dtype == jnp.float32
-            and dims_ok)
+        return mode
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        return mode
+    return None
 
 
 def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
@@ -564,18 +633,22 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
     (SURVEY.md section 2).
 
     Dispatch, fastest first:
-     1. the fully fused Pallas solver kernel (TPU + f32 + small stage
-        dims) — the whole algorithm in one kernel per 128-instance tile;
+     1. the fully fused Pallas solver kernel (TPU + f32, VMEM-fitting
+        stage dims — lowmem recompute mode for large nx such as the
+        CopolymerizationReactor class) — the whole algorithm in one
+        kernel per 128-instance tile;
      2. vmap of the XLA-orchestrated solver, whose Newton step is the
         fused Riccati kernel via custom_vmap (TPU) or the lax.scan path
         (CPU / f64)."""
-    if _fused_solve_eligible(data, z0.dtype):
+    mode = _fused_solve_eligible(data, z0.dtype)
+    if mode is not None:
         from fbstab_tpu.ops.mpc_solve_pallas import fbstab_mpc_solve_fused
         base = data if not isinstance(data, MpcQPDataT) else MpcQPData(
             **{k: getattr(data, k) for k in MpcQPData._fields})
         return fbstab_mpc_solve_fused(
             base, z0, l0, v0, options,
-            interpret=(PALLAS_MODE == "interpret"))
+            interpret=(PALLAS_MODE == "interpret"),
+            lowmem=(mode == "lowmem"))
     if not isinstance(data, MpcQPDataT):
         data = with_transposed(data)
     return jax.vmap(

@@ -109,8 +109,52 @@ def simulate(data: MpcQPData, T: int, options: Options = Options(),
 def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
                    options: Options = Options(),
                    shift: bool = True) -> ClosedLoopResult:
-    """Scenario sweep: runs `simulate` for a batch of initial states over a
-    shared plant/problem (leading axis of x0s = scenarios)."""
-    return jax.vmap(
-        lambda x0: simulate(data, T, options, x0=x0, shift=shift)
-    )(x0s)
+    """Scenario sweep: T closed-loop steps for a batch of initial states
+    over a shared plant/problem (leading axis of x0s = scenarios).
+
+    Unlike vmap(simulate), the time loop lives OUTSIDE the batched solve:
+    each control step is one `solve_mpc_qp_batch` call over all scenarios,
+    so on TPU the whole sweep runs on the fused Pallas solver kernel
+    (BASELINE config 2's production path). Output axes match the vmapped
+    form: leading axis scenarios, then time.
+    """
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+
+    B = x0s.shape[0]
+    N, nx, nu, nc = mpc_dims(data)
+    ns = nx + nu
+    nz, nl, nv = (N + 1) * ns, (N + 1) * nx, (N + 1) * nc
+    dtype = data.Q.dtype
+    opts = options.validated()
+
+    batch = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), data)
+    x0b = jnp.asarray(x0s, dtype)
+
+    z0 = jnp.zeros((B, nz), dtype)
+    l0 = jnp.zeros((B, nl), dtype)
+    v0 = jnp.zeros((B, nv), dtype)
+
+    def step(carry, _):
+        xk, gz, gl, gv = carry
+        d = batch._replace(x0=xk)
+        sol, core = solve_mpc_qp_batch(d, gz, gl, gv, opts)
+        u = sol.z.reshape(B, N + 1, ns)[:, 0, nx:]
+        x_next = (jnp.einsum("ij,bj->bi", data.A[0], xk)
+                  + jnp.einsum("ij,bj->bi", data.B[0], u) + data.c[0])
+        if shift:
+            nxt = jax.vmap(shift_warmstart)(sol, d)
+        else:
+            nxt = sol
+        return ((x_next, nxt.z, nxt.l, nxt.v),
+                (x_next, u, core.eflag, core.residual,
+                 core.newton_iters, core.prox_iters))
+
+    _, (xs, us, eflags, residuals, newtons, proxs) = lax.scan(
+        step, (x0b, z0, l0, v0), None, length=T)
+
+    tm = lambda a: jnp.moveaxis(a, 0, 1)          # time-major -> batch-major
+    return ClosedLoopResult(
+        x=jnp.concatenate([x0b[:, None], tm(xs)], axis=1),
+        u=tm(us), eflag=tm(eflags), residual=tm(residuals),
+        newton_iters=tm(newtons), prox_iters=tm(proxs))

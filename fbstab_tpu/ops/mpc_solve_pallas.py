@@ -35,11 +35,13 @@ from __future__ import annotations
 import functools
 import os
 
-# The fused kernel's working set (~17-24 MB per 128-lane tile at N=30,
-# nx=8) exceeds the default 16 MiB scoped-VMEM budget; v5e has headroom
-# when the limit is raised. Must be in the env before libtpu initializes,
-# so it is set at import time (idempotent, merged with existing args).
-_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+# The fused kernel's working set exceeds the default 16 MiB scoped-VMEM
+# budget (~9 MB per 128-lane tile at N=30/nx=8; ~72 MB in lowmem mode at
+# the CopolymerizationReactor's N=80/nx=18); v5e has 128 MiB of VMEM per
+# core, so the limit is raised to 112 MiB. Must be in the env before
+# libtpu initializes, so it is set at import time (idempotent, merged
+# with existing args).
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=114688"
 if _VMEM_FLAG not in os.environ.get("LIBTPU_INIT_ARGS", ""):
     os.environ["LIBTPU_INIT_ARGS"] = (
         os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG).strip()
@@ -82,8 +84,9 @@ def _stage_matvec_T(M, w, n, m):
     return acc.reshape(N1 * m, M.shape[-1])
 
 
-def _make_solve_kernel(N, nx, nu, nc, opts: Options):
-    """Builds the kernel body closure for static dims + options."""
+def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
+    """Builds the kernel body closure for static dims + options. lowmem
+    selects the recompute-factors Riccati mode (large stage dims)."""
     Np1 = N + 1
     ns = nx + nu
     sigma = float(opts.sigma0)
@@ -98,9 +101,14 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                # scratch for the Newton step (x/u parts separate: Mosaic
                # cannot reduce over the offset layouts produced by slicing
                # the stage dim at non-sublane-aligned nx boundaries)
-               rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
-               dzx_s, dzu_s, dl_s,
-               Lc, Mc, SMc, SGc, th_s, h_s, red_s):
+               *scr):
+        if lowmem:
+            (rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
+             dzx_s, dzu_s, dl_s, Lc, th_s, h_s, red_s) = scr
+            Mc = SMc = SGc = None
+        else:
+            (rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
+             dzx_s, dzu_s, dl_s, Lc, Mc, SMc, SGc, th_s, h_s, red_s) = scr
         f32 = Q_ref.dtype
         Bl = Q_ref.shape[-1]
 
@@ -248,7 +256,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
                 xv_s, xy_s, vb_s, rzx_s, rzu_s, rl_s, rv_s,
                 dzx_s, dzu_s, dl_s,
                 Lc, Mc, SMc, SGc, None, None, th_s, h_s,
-                N=N, nx=nx, nu=nu, nc=nc, alpha=alpha, store_AP=False)
+                N=N, nx=nx, nu=nu, nc=nc, alpha=alpha, store_AP=False,
+                store_factors=not lowmem)
             dzx = dzx_s[...].reshape(Np1 * nx, Bl)
             dzu = dzu_s[...].reshape(Np1 * nu, Bl)
             dl = dl_s[...].reshape(Np1 * nx, Bl)
@@ -546,16 +555,19 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("options", "interpret", "tile_b"))
+    jax.jit, static_argnames=("options", "interpret", "tile_b", "lowmem"))
 def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
-                           interpret: bool = False, tile_b: int = TILE_B):
+                           interpret: bool = False, tile_b: int = TILE_B,
+                           lowmem: bool = False):
     """Batched MPC solve through the fused kernel.
 
     data: MpcQPData (batch-first leaves); z0/l0/v0: (B, nz/nl/nv).
     Returns (Variable, CoreOut) batch-first, matching
     vmap(fbstab_solve)'s contract. The batch is processed in TILE_B-lane
     tiles via lax.map (serial tiles keep VMEM within budget; each tile is
-    a complete solve, so there is no cross-tile sync).
+    a complete solve, so there is no cross-tile sync). lowmem selects the
+    recompute-factors Riccati mode (bit-identical results, ~18 MB less
+    VMEM per 128-lane tile at nx=18/N=80) so large stage dimensions fit.
     """
     opts = options.validated()
     B = z0.shape[0]
@@ -594,7 +606,7 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         prep(l0, (N1, nx)), prep(v0, (N1, nc)),
     )
 
-    kernel = _make_solve_kernel(N, nx, nu, nc, opts)
+    kernel = _make_solve_kernel(N, nx, nu, nc, opts, lowmem=lowmem)
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((N1, ns, tile_b), dtype),
@@ -619,9 +631,14 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         pltpu.VMEM((N1, nu, tile_b), dtype),       # dzu_s
         pltpu.VMEM((N1, nx, tile_b), dtype),       # dl_s
         pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
-        pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Mc
-        pltpu.VMEM((N1, nu, nx, tile_b), dtype),   # SMc
-        pltpu.VMEM((N1, nu, nu, tile_b), dtype),   # SGc
+    ]
+    if not lowmem:
+        scratch += [
+            pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Mc
+            pltpu.VMEM((N1, nu, nx, tile_b), dtype),   # SMc
+            pltpu.VMEM((N1, nu, nu, tile_b), dtype),   # SGc
+        ]
+    scratch += [
         pltpu.VMEM((N1, nx, tile_b), dtype),       # th
         pltpu.VMEM((N1, nx, tile_b), dtype),       # h
         pltpu.VMEM((1, tile_b), dtype),            # red_s (see mater)

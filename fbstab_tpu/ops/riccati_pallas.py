@@ -173,7 +173,8 @@ def riccati_factor_solve(
         dzx_ref, dzu_ref, dl_ref,
         Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
         th_ref, h_ref,
-        *, N, nx, nu, nc, alpha, store_AP: bool = True):
+        *, N, nx, nu, nc, alpha, store_AP: bool = True,
+        store_factors: bool = True):
     """In-kernel Riccati factor + solve over one batch tile (batch-last).
 
     Reads the iterate pieces (v, y, vbar) and the NEGATED inner residual
@@ -184,6 +185,17 @@ def riccati_factor_solve(
     (ops/mpc_solve_pallas.py). Per-stage PFB weights and the
     post-elimination residual are recomputed where needed instead of being
     stored, trading a few VPU ops for ~2 MB of VMEM scratch.
+
+    store_factors=False is the large-stage-dimension (low-VMEM) mode: only
+    the Riccati carry Cholesky factors Lc are stored; the per-stage
+    factors M/SM/SGc are recomputed from Lc in the vector passes
+    (Mc_ref/SMc_ref/SGc_ref may then be None). The recomputation repeats
+    the exact arithmetic of the forward pass on identical inputs, so the
+    results are bit-identical to the storing mode; it trades ~2x stage-
+    factor FLOPs for the (N+1)*(nx*nx + nu*nx + nu*nu) scratch, which is
+    what lets nx~18-32 problems (e.g. the CopolymerizationReactor
+    benchmark, /root/reference/fbstab/test/ocp_generator.cc:73-169) fit
+    the per-tile VMEM budget.
     """
     f32 = Q_ref.dtype
     B_lanes = Q_ref.shape[-1]
@@ -238,13 +250,12 @@ def riccati_factor_solve(
     # ---- Forward matrix recursion (cc:125-188). ----
     L0 = jnp.sqrt(sigma) * Ix
 
-    def stage_AP(i):
-        """AM = A inv(M)', P = (AM SM' - B) inv(SG)' at stage i, from the
-        stored M/SM/SG factors (recompute mode trades ~20% extra VPU work
-        for the AMc/Pc scratch, ~1.4 MB per 128-lane tile)."""
-        AM = _solve_right_LT(A_ref[i], Mc_ref[i])
-        P = _solve_right_LT(_mm(AM, _T(SMc_ref[i])) - B_ref[i],
-                            SGc_ref[i])
+    def stage_AP(i, M_i, SM_i, SG_i):
+        """AM = A inv(M)', P = (AM SM' - B) inv(SG)' at stage i from the
+        stage factors (recompute mode trades ~20% extra VPU work for the
+        AMc/Pc scratch, ~1.4 MB per 128-lane tile)."""
+        AM = _solve_right_LT(A_ref[i], M_i)
+        P = _solve_right_LT(_mm(AM, _T(SM_i)) - B_ref[i], SG_i)
         return AM, P
 
     def fwd_mat_body(i, Lf):
@@ -253,9 +264,10 @@ def riccati_factor_solve(
         P = _solve_right_LT(_mm(AM, _T(SM)) - B_ref[i], SG)
         L_next = _chol(sigma * Ix + _mm(P, _T(P)) + _mm(AM, _T(AM)))
         Lc_ref[i] = Lf
-        Mc_ref[i] = M
-        SMc_ref[i] = SM
-        SGc_ref[i] = SG
+        if store_factors:
+            Mc_ref[i] = M
+            SMc_ref[i] = SM
+            SGc_ref[i] = SG
         if store_AP:
             AMc_ref[i] = AM
             Pc_ref[i] = P
@@ -264,9 +276,17 @@ def riccati_factor_solve(
     L_N = lax.fori_loop(0, N, fwd_mat_body, L0)
     M_N, SM_N, SG_N = stage_factor(L_N, N)
     Lc_ref[N] = L_N
-    Mc_ref[N] = M_N
-    SMc_ref[N] = SM_N
-    SGc_ref[N] = SG_N
+    if store_factors:
+        Mc_ref[N] = M_N
+        SMc_ref[N] = SM_N
+        SGc_ref[N] = SG_N
+
+    def stage_factors_at(i):
+        """(M, SM, SG) at stage i: stored, or recomputed from Lc (the
+        recompute repeats the forward pass's arithmetic bit-for-bit)."""
+        if store_factors:
+            return Mc_ref[i], SMc_ref[i], SGc_ref[i]
+        return stage_factor(Lc_ref[i], i)
 
     # ---- Forward vector recursion (cc:239-262). ----
     _, mus0 = stage_weights(0)
@@ -279,12 +299,13 @@ def riccati_factor_solve(
     def fwd_vec_body(i, h_i):
         _, mus_i = stage_weights(i)
         _, r1u_i = stage_r1(i, mus_i)
+        M_i, SM_i, SG_i = stage_factors_at(i)
         if store_AP:
             AM_i, P_i = AMc_ref[i], Pc_ref[i]
         else:
-            AM_i, P_i = stage_AP(i)
-        tx = _tri_lower(Mc_ref[i], h_i)
-        tu = _tri_lower(SGc_ref[i], _mv(SMc_ref[i], tx) + r1u_i)
+            AM_i, P_i = stage_AP(i, M_i, SM_i, SG_i)
+        tx = _tri_lower(M_i, h_i)
+        tu = _tri_lower(SG_i, _mv(SM_i, tx) + r1u_i)
         th_n = _mv(P_i, tu) + _mv(AM_i, tx) - rl_ref[i + 1]
         _, mus_n = stage_weights(i + 1)
         r1x_n, _ = stage_r1(i + 1, mus_n)
@@ -308,15 +329,13 @@ def riccati_factor_solve(
 
     def bwd_body(k, l_next):
         i = N - 1 - k
-        M = Mc_ref[i]
-        SM = SMc_ref[i]
-        SG = SGc_ref[i]
+        M, SM, SG = stage_factors_at(i)
         _, mus_i = stage_weights(i)
         _, r1u_i = stage_r1(i, mus_i)
         if store_AP:
             AM_i, P_i = AMc_ref[i], Pc_ref[i]
         else:
-            AM_i, P_i = stage_AP(i)
+            AM_i, P_i = stage_AP(i, M, SM, SG)
         tx = _tri_lower(M, h_ref[i])
         ui = _tri_lower(SG, _mv(SM, tx) + r1u_i)
         ui = _tri_upperT(SG, ui + _mv(_T(P_i), l_next))
@@ -337,11 +356,16 @@ def _newton_step_kernel(
         v_ref, y_ref, vbar_ref,
         rzx_ref, rzu_ref, rl_ref, rv_ref,
         dzx_ref, dzu_ref, dl_ref,
-        Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
-        th_ref, h_ref,
-        *, N, nx, nu, nc, alpha):
+        *scratch, N, nx, nu, nc, alpha, lowmem=False):
     """Standalone Newton-step kernel: one riccati_factor_solve per tile.
-    Dual recovery (dv, dy) happens outside as wide XLA einsums."""
+    Dual recovery (dv, dy) happens outside as wide XLA einsums. lowmem
+    drops the stored stage factors (see riccati_factor_solve)."""
+    if lowmem:
+        Lc_ref, th_ref, h_ref = scratch
+        Mc_ref = SMc_ref = SGc_ref = AMc_ref = Pc_ref = None
+    else:
+        (Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref, th_ref,
+         h_ref) = scratch
     riccati_factor_solve(
         sigma_ref[0, 0],
         Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
@@ -350,7 +374,8 @@ def _newton_step_kernel(
         dzx_ref, dzu_ref, dl_ref,
         Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref,
         th_ref, h_ref,
-        N=N, nx=nx, nu=nu, nc=nc, alpha=alpha)
+        N=N, nx=nx, nu=nu, nc=nc, alpha=alpha,
+        store_AP=not lowmem, store_factors=not lowmem)
 
 
 # ------------------------------------------------------------------
@@ -367,15 +392,17 @@ def _from_bl(a):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("alpha", "interpret", "tile_b"))
+    jax.jit, static_argnames=("alpha", "interpret", "tile_b", "lowmem"))
 def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
                                 alpha: float, interpret: bool = False,
-                                tile_b: int = TILE_B):
+                                tile_b: int = TILE_B,
+                                lowmem: bool = False):
     """Batched fused Newton step.
 
     data: MpcQPData with leading batch dim B on every leaf.
     v, y, vbar: (B, nv) iterate pieces; rz, rl, rv: (B, nz/nl/nv) the
-    *negated* inner residual; sigma: scalar.
+    *negated* inner residual; sigma: scalar. lowmem selects the
+    recompute-factors kernel mode for large stage dimensions.
     Returns (dz, dl, dv, dy) batch-first.
     """
     B = v.shape[0]
@@ -444,19 +471,27 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
         jax.ShapeDtypeStruct((N1, nu, Bp), dtype),
         jax.ShapeDtypeStruct((N1, nx, Bp), dtype),
     )
-    scratch = [
-        pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
-        pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Mc
-        pltpu.VMEM((N1, nu, nx, tile_b), dtype),   # SMc
-        pltpu.VMEM((N1, nu, nu, tile_b), dtype),   # SGc
-        pltpu.VMEM((N, nx, nx, tile_b), dtype),    # AMc
-        pltpu.VMEM((N, nx, nu, tile_b), dtype),    # Pc
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # th
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # h
-    ]
+    if lowmem:
+        scratch = [
+            pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
+            pltpu.VMEM((N1, nx, tile_b), dtype),       # th
+            pltpu.VMEM((N1, nx, tile_b), dtype),       # h
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
+            pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Mc
+            pltpu.VMEM((N1, nu, nx, tile_b), dtype),   # SMc
+            pltpu.VMEM((N1, nu, nu, tile_b), dtype),   # SGc
+            pltpu.VMEM((N, nx, nx, tile_b), dtype),    # AMc
+            pltpu.VMEM((N, nx, nu, tile_b), dtype),    # Pc
+            pltpu.VMEM((N1, nx, tile_b), dtype),       # th
+            pltpu.VMEM((N1, nx, tile_b), dtype),       # h
+        ]
 
     kernel = functools.partial(
-        _newton_step_kernel, N=N, nx=nx, nu=nu, nc=nc, alpha=alpha)
+        _newton_step_kernel, N=N, nx=nx, nu=nu, nc=nc, alpha=alpha,
+        lowmem=lowmem)
 
     dzx_t, dzu_t, dl_t = pl.pallas_call(
         kernel,

@@ -1,86 +1,124 @@
 """Two-phase adaptive batch solving (tail-latency mitigation).
 
-A vmapped solve is masked-lockstep: every instance pays for the slowest
-one, and on realistic batches the Newton-iteration distribution has a long
-tail (measured p50 ~ 16, p100 ~ 95 on the bench workload). The fix exploits
-the solver's warmstart contract (the same mechanism the reference documents
-for receding-horizon reuse, fbstab_algorithm.h:129-142): run phase 1 with a
-small iteration budget, then re-solve only the unconverged instances —
-warmstarted from where they stopped — with the full budget. Phase 2's batch
-is a gather of the (few) hard instances, so the common case costs
-budget-1 iterations instead of p100.
+A vmapped/fused solve is masked-lockstep: every instance pays for the
+slowest one, and on realistic batches the Newton-iteration distribution
+has a long tail (measured p50 ~ 16, p100 ~ 95 on the bench workload). The
+fix exploits the solver's warmstart contract (the same mechanism the
+reference documents for receding-horizon reuse, fbstab_algorithm.h:129-142):
+run phase 1 with a small iteration budget, then re-solve only the
+unconverged instances — warmstarted from where they stopped — with a
+full, reliable-leaning budget. Phase 2's batch is a gather of the (few)
+hard instances, so the common case costs budget-1 iterations instead of
+p100.
 
-Throughput = B / (t_phase1 + t_phase2) where phase 2 is ~tail-fraction of
-the work. Everything stays on device; only the repacking indices cross the
-host boundary.
+Both phases run through the class dispatchers (`solve_mpc_qp_batch` /
+`solve_dense_qp_batch`), so on TPU they execute on the fused Pallas
+solver kernels. Compaction stays on device: only the scalar retry COUNT
+crosses the host boundary (it must — the phase-2 batch shape is static).
+
+Measured on the fused kernel path the two-phase scheme is roughly
+throughput-neutral (fused solve time is not proportional to the Newton
+budget; see docs/ARCHITECTURE.md), so this is primarily a TAIL-LATENCY
+and robustness tool: phase 2 can apply a stronger options profile to just
+the stragglers without slowing the whole batch down.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from fbstab_tpu.core.algorithm import fbstab_solve
 from fbstab_tpu.options import Options
 from fbstab_tpu.solver_out import ExitFlag
 
 
-def _pad_to(idx: np.ndarray, multiple: int, total: int) -> np.ndarray:
-    """Pads an index list to a multiple of `multiple` by repeating the
-    first index (duplicates are harmless: same solve, result ignored)."""
-    if multiple <= 1 or len(idx) % multiple == 0:
-        return idx
-    pad = multiple - len(idx) % multiple
-    filler = np.full(pad, idx[0] if len(idx) else 0, idx.dtype)
-    return np.concatenate([idx, filler])
+def reliable_leaning(options: Options) -> Options:
+    """Phase-2 profile: the caller's tolerances with the reference's
+    Reliable-profile robustness levers (fbstab_algorithm-impl.h:61-74):
+    monotone linesearch, slower backtracking, bigger budgets."""
+    o = options.validated()
+    return dataclasses.replace(
+        o,
+        beta=max(o.beta, 0.9),
+        max_linesearch_iters=max(o.max_linesearch_iters, 40),
+        max_newton_iters=max(o.max_newton_iters, 200),
+        nonmonotone_linesearch=False,
+    )
 
 
-def solve_batch_adaptive(ops, data, z0, l0, v0, options: Options,
+def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
+                         options: Options,
                          phase1_newton_iters: int = 25,
-                         pad_multiple: int = 128):
-    """Two-phase batched solve over any ProblemOps QP class.
+                         pad_multiple: int = 128,
+                         phase2_options: Optional[Options] = None):
+    """Two-phase batched solve through a class dispatcher.
 
-    Returns (Variable, CoreOut) batch-first, equivalent to the one-shot
-    batched solve up to instances that converge in phase 2 instead of 1.
-    `pad_multiple` keeps phase-2 shapes friendly to the Pallas batch tiles
-    (and bounds recompilation: phase-2 batch sizes are rounded up).
+    solve_batch: (data, z0, l0, v0, options) -> (Variable, CoreOut) — use
+    `solve_mpc_qp_batch` or `solve_dense_qp_batch` so both phases ride
+    the fused kernels. Returns (Variable, CoreOut) batch-first,
+    equivalent to the one-shot solve for instances that converge in
+    phase 1; stragglers get `phase2_options` (reliable-leaning by
+    default). `pad_multiple` keeps phase-2 shapes tile-friendly and
+    bounds recompilation.
     """
     opts1 = dataclasses.replace(
         options.validated(), max_newton_iters=phase1_newton_iters)
-    opts2 = options.validated()
+    opts2 = (phase2_options.validated() if phase2_options is not None
+             else reliable_leaning(options))
 
-    solve1 = jax.jit(jax.vmap(
-        lambda d, z, l, v: fbstab_solve(ops, d, z, l, v, opts1)))
-    x1, core1 = solve1(data, z0, l0, v0)
+    x1, core1 = solve_batch(data, z0, l0, v0, opts1)
 
-    eflag = np.asarray(core1.eflag)
-    # Phase 1 exits: SUCCESS / infeasibility verdicts are final;
+    # Phase-1 exits: SUCCESS / infeasibility verdicts are final;
     # MAXITERATIONS (budget) and LINEAR_SOLVER_FAILED get a second chance
-    # with the full budget and the reliable-leaning warmstart.
-    retry = np.where((eflag == ExitFlag.MAXITERATIONS)
-                     | (eflag == ExitFlag.LINEAR_SOLVER_FAILED))[0]
-    if len(retry) == 0:
+    # with the full budget from their phase-1 iterate.
+    retry_mask = ((core1.eflag == int(ExitFlag.MAXITERATIONS))
+                  | (core1.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)))
+    k = int(jnp.sum(retry_mask))          # the one scalar host sync
+    if k == 0:
         return x1, core1
+    B = core1.eflag.shape[0]
+    kp = min(-(-k // pad_multiple) * pad_multiple, B) if pad_multiple > 1 \
+        else k
 
-    idx = _pad_to(retry, pad_multiple, eflag.shape[0])
+    # On-device compaction: indices of stragglers, padded with index 0
+    # (the padded lanes' results are dropped at scatter time).
+    idx = jnp.nonzero(retry_mask, size=kp, fill_value=0)[0]
     take = lambda tree: jax.tree.map(lambda a: a[idx], tree)
     sub_data = take(data)
     sub_x = take(x1)
 
-    solve2 = jax.jit(jax.vmap(
-        lambda d, z, l, v: fbstab_solve(ops, d, z, l, v, opts2)))
-    x2, core2 = solve2(sub_data, sub_x.z, sub_x.l, sub_x.v)
+    x2, core2 = solve_batch(sub_data, sub_x.z, sub_x.l, sub_x.v, opts2)
 
-    # Scatter phase-2 results back (drop pad duplicates).
-    k = len(retry)
-    upd = lambda a, b: a.at[retry].set(b[:k])
+    # Scatter phase-2 results back (first k entries are the real ones).
+    real = idx[:k]
+    upd = lambda a, b: a.at[real].set(b[:k])
     x = jax.tree.map(upd, x1, x2)
     core = jax.tree.map(upd, core1, core2)
-    # Iteration counters: phase totals accumulate.
+    # Iteration counters accumulate across phases.
     core = core._replace(
-        newton_iters=core.newton_iters.at[retry].add(
-            core1.newton_iters[retry]),
-        prox_iters=core.prox_iters.at[retry].add(core1.prox_iters[retry]))
+        newton_iters=core.newton_iters.at[real].add(
+            core1.newton_iters[real]),
+        prox_iters=core.prox_iters.at[real].add(core1.prox_iters[real]))
     return x, core
+
+
+def solve_mpc_qp_batch_adaptive(data, z0, l0, v0, options: Options,
+                                **kwargs):
+    """Adaptive two-phase MPC batch solve on the fused dispatch path."""
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+
+    return solve_batch_adaptive(
+        solve_mpc_qp_batch, data, z0, l0, v0, options, **kwargs)
+
+
+def solve_dense_qp_batch_adaptive(data, z0, l0, v0, options: Options,
+                                  **kwargs):
+    """Adaptive two-phase dense batch solve on the fused dispatch path."""
+    from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
+
+    return solve_batch_adaptive(
+        solve_dense_qp_batch, data, z0, l0, v0, options, **kwargs)

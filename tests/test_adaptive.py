@@ -4,38 +4,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fbstab_tpu.models.dense_qp import DENSE_OPS, DenseQPData
-from fbstab_tpu.models.mpc_qp import MPC_OPS, mpc_dims
+import fbstab_tpu.models.dense_qp as dense
+import fbstab_tpu.models.mpc_qp as mpc
 from fbstab_tpu.models import ocp_fixtures
+from fbstab_tpu.models.mpc_qp import mpc_dims
 from fbstab_tpu.options import Options
-from fbstab_tpu.parallel.adaptive import solve_batch_adaptive
+from fbstab_tpu.parallel.adaptive import (
+    solve_dense_qp_batch_adaptive,
+    solve_mpc_qp_batch_adaptive,
+)
 from fbstab_tpu.solver_out import ExitFlag
+
+
+def _dense_batch(B, n, q, seed=0):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((B, n, n))
+    H = M @ np.transpose(M, (0, 2, 1)) / n + np.eye(n)
+    data = dense.DenseQPData(
+        H=jnp.asarray(H), f=jnp.asarray(rng.standard_normal((B, n))),
+        G=jnp.zeros((B, 0, n)), h=jnp.zeros((B, 0)),
+        A=jnp.asarray(rng.standard_normal((B, q, n))),
+        b=jnp.asarray(np.abs(rng.standard_normal((B, q))) + 0.5))
+    return data, jnp.zeros((B, n)), jnp.zeros((B, 0)), jnp.zeros((B, q))
 
 
 def test_adaptive_matches_oneshot_dense():
     """Random dense batch: two-phase result converges everywhere and
     matches a full-budget one-shot solve."""
     B, n, q = 16, 8, 12
-    rng = np.random.default_rng(0)
-    M = rng.standard_normal((B, n, n))
-    H = M @ np.transpose(M, (0, 2, 1)) / n + np.eye(n)
-    data = DenseQPData(
-        H=jnp.asarray(H), f=jnp.asarray(rng.standard_normal((B, n))),
-        G=jnp.zeros((B, 0, n)), h=jnp.zeros((B, 0)),
-        A=jnp.asarray(rng.standard_normal((B, q, n))),
-        b=jnp.asarray(np.abs(rng.standard_normal((B, q))) + 0.5))
-    z0 = jnp.zeros((B, n))
-    l0 = jnp.zeros((B, 0))
-    v0 = jnp.zeros((B, q))
+    data, z0, l0, v0 = _dense_batch(B, n, q)
     opts = Options(abs_tol=1e-8)
 
-    x, core = solve_batch_adaptive(
-        DENSE_OPS, data, z0, l0, v0, opts,
-        phase1_newton_iters=4, pad_multiple=4)
+    x, core = solve_dense_qp_batch_adaptive(
+        data, z0, l0, v0, opts, phase1_newton_iters=4, pad_multiple=4)
     assert (np.asarray(core.eflag) == ExitFlag.SUCCESS).all()
 
-    from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
-    x_ref, core_ref = solve_dense_qp_batch(data, z0, l0, v0, opts)
+    x_ref, core_ref = dense.solve_dense_qp_batch(data, z0, l0, v0, opts)
     np.testing.assert_allclose(x.z, x_ref.z, atol=1e-6)
 
 
@@ -51,8 +55,8 @@ def test_adaptive_preserves_infeasibility_flags():
     N, nx, nu, nc = mpc_dims(data)
     nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
 
-    x, core = solve_batch_adaptive(
-        MPC_OPS, batch, jnp.zeros((B, nz)), jnp.zeros((B, nl)),
+    x, core = solve_mpc_qp_batch_adaptive(
+        batch, jnp.zeros((B, nz)), jnp.zeros((B, nl)),
         jnp.zeros((B, nv)), Options(abs_tol=1e-8),
         phase1_newton_iters=30, pad_multiple=2)
     ef = np.asarray(core.eflag)
@@ -60,3 +64,45 @@ def test_adaptive_preserves_infeasibility_flags():
     assert ef[2] == ExitFlag.SUCCESS
     assert ef[1] == ExitFlag.PRIMAL_INFEASIBLE
     assert ef[3] == ExitFlag.PRIMAL_INFEASIBLE
+
+
+def test_adaptive_on_fused_kernel_path(monkeypatch):
+    """Both phases through the fused Pallas solver kernel (interpret):
+    instances that converge in phase 1 must match the one-shot fused
+    solve bit-for-bit (they are never re-solved), and stragglers must
+    still converge in phase 2."""
+    monkeypatch.setattr(mpc, "PALLAS_MODE", "interpret")
+    jax.clear_caches()
+    mpc._make_fused_step.cache_clear()
+
+    data, _ = ocp_fixtures.double_integrator(4)
+    B = 8
+    batch = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), data)
+    x0s = jnp.stack(
+        [jnp.array([0.2 * i, 0.01 * i]) for i in range(B)])  # mixed hardness
+    batch = batch._replace(x0=x0s)
+    N, nx, nu, nc = mpc_dims(data)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    z0 = jnp.zeros((B, nz))
+    l0 = jnp.zeros((B, nl))
+    v0 = jnp.zeros((B, nv))
+    opts = Options(abs_tol=1e-8)
+
+    x1, core1 = mpc.solve_mpc_qp_batch(
+        batch, z0, l0, v0,
+        Options(abs_tol=1e-8, max_newton_iters=6))
+    x, core = solve_mpc_qp_batch_adaptive(
+        batch, z0, l0, v0, opts, phase1_newton_iters=6, pad_multiple=2)
+    x_ref, core_ref = mpc.solve_mpc_qp_batch(batch, z0, l0, v0, opts)
+
+    conv1 = np.asarray(core1.eflag) == int(ExitFlag.SUCCESS)
+    assert conv1.any() and not conv1.all()     # phases actually split
+    # Converged-in-phase-1 lanes: identical to the one-shot phase-1 run.
+    for name in ("z", "l", "v", "y"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(x, name))[conv1],
+            np.asarray(getattr(x1, name))[conv1])
+    # Everyone ends SUCCESS and agrees with the full solve numerically.
+    assert (np.asarray(core.eflag) == int(ExitFlag.SUCCESS)).all()
+    np.testing.assert_allclose(x.z, x_ref.z, atol=1e-6)

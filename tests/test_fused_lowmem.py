@@ -1,0 +1,80 @@
+"""Low-VMEM (recompute-factors) fused-kernel mode: the large-stage-dims
+path that carries the CopolymerizationReactor class (nx=18, nu=5, nc=10;
+reference /root/reference/fbstab/test/ocp_generator.cc:73-169).
+
+The recompute mode repeats the forward pass's arithmetic on identical
+inputs, so its results must be BIT-identical to the storing mode, and both
+must match the XLA path per the fuzz contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fbstab_tpu.models.mpc_qp as mpc
+from fbstab_tpu.models import ocp_fixtures
+from fbstab_tpu.models.mpc_qp import mpc_dims
+from fbstab_tpu.options import Options
+from fbstab_tpu.ops.mpc_solve_pallas import fbstab_mpc_solve_fused
+from fbstab_tpu.solver_out import ExitFlag
+
+
+def _copoly_batch(B, N):
+    data, _ = ocp_fixtures.copolymerization_reactor(N)
+    batch = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), data)
+    # Vary the initial state (scaled down: the plant's constraint set is
+    # tight, |u| <= 0.05).
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.02 * rng.standard_normal((B, 18)))
+    batch = batch._replace(x0=x0s)
+    N_, nx, nu, nc = mpc_dims(data)
+    nz = (N_ + 1) * (nx + nu)
+    nl = (N_ + 1) * nx
+    nv = (N_ + 1) * nc
+    return batch, jnp.zeros((B, nz)), jnp.zeros((B, nl)), jnp.zeros((B, nv))
+
+
+def test_lowmem_bitparity_and_xla_agreement(monkeypatch):
+    """Copolymerization-class stage dims at a short horizon (interpret
+    mode keeps the test CPU-sized): lowmem == std bitwise, and both match
+    the XLA path's exit flags/iterations/solutions."""
+    monkeypatch.setattr(mpc, "PALLAS_MODE", "off")
+    jax.clear_caches()
+    mpc._make_fused_step.cache_clear()
+
+    batch, z0, l0, v0 = _copoly_batch(B=4, N=4)
+    opts = Options(abs_tol=1e-8)
+
+    x_ref, core_ref = mpc.solve_mpc_qp_batch(batch, z0, l0, v0, opts)
+    x_std, core_std = fbstab_mpc_solve_fused(
+        batch, z0, l0, v0, opts, interpret=True, tile_b=2, lowmem=False)
+    x_lm, core_lm = fbstab_mpc_solve_fused(
+        batch, z0, l0, v0, opts, interpret=True, tile_b=2, lowmem=True)
+
+    for a, b in zip(jax.tree.leaves((x_std, core_std)),
+                    jax.tree.leaves((x_lm, core_lm))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    np.testing.assert_array_equal(core_lm.eflag, core_ref.eflag)
+    np.testing.assert_array_equal(core_lm.newton_iters,
+                                  core_ref.newton_iters)
+    np.testing.assert_allclose(x_lm.z, x_ref.z, atol=1e-9)
+    assert np.all(np.asarray(core_ref.eflag) == int(ExitFlag.SUCCESS))
+
+
+def test_dispatch_selects_lowmem_for_copolymerization():
+    """The gates route the copolymerization class to the lowmem fused
+    Newton-step kernel (not the XLA scan path — round-1 VERDICT's ~190x
+    cliff; and not the full-solve kernel, whose carried state spills the
+    register file at this size — measured 232 MB of spill slots)."""
+    assert mpc._kernel_mode(80, 18, 5, 10) == "lowmem"
+    assert mpc._kernel_mode(30, 8, 3, 6) == "std"
+    assert mpc._kernel_mode(25, 4, 1, 4) == "std"      # servo motor
+    assert mpc._kernel_mode(40, 6, 3, 12) == "std"     # spacecraft
+    # Far beyond the VMEM budget: stays on the XLA path.
+    assert mpc._kernel_mode(200, 32, 8, 16) is None
+    # Full-solve kernel carries the whole iterate in registers: capped by
+    # state rows. Bench shape fits; copolymerization must not.
+    assert mpc._state_rows(30, 8, 3, 6) <= mpc._FULL_SOLVE_ROWS_CAP
+    assert mpc._state_rows(80, 18, 5, 10) > mpc._FULL_SOLVE_ROWS_CAP
