@@ -270,6 +270,66 @@ def run_copoly(B=None):
     }))
 
 
+def run_sharded(B=None):
+    """python bench.py sharded: single-chip proxy for multi-chip scaling.
+
+    Runs the flagship fused solver both directly and under shard_map on a
+    1-device mesh at the same batch size. Since QP instances are
+    independent and the only collectives are the post-solve BatchStats
+    reductions, per-chip work is identical at any mesh size; the measured
+    ratio bounds the sharding-machinery overhead per chip (the quantity
+    that determines scaling efficiency, absent real multi-chip hardware)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.options import Options
+    from fbstab_tpu.parallel.sharded import (
+        make_mesh, shard_batch, sharded_mpc_solver_fused)
+
+    platform = jax.devices()[0].platform
+    if B is None:
+        B = 256 if platform == "cpu" else 8192
+    N, nx, nu, nc = 30, 8, 3, 6
+    dtype = jnp.float32
+    opts = Options.single_precision()
+    data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
+
+    direct = jax.jit(
+        lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    mesh = make_mesh(jax.devices()[:1])
+    interp = platform == "cpu"
+    tile = 2 if interp else 128
+    sharded = sharded_mpc_solver_fused(
+        mesh, opts, interpret=interp, tile_b=tile)
+    args = shard_batch(mesh, (data, z0, l0, v0))
+
+    def timeit(fn, a):
+        out = fn(*a)
+        np.asarray(out[1].residual)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            np.asarray(out[1].residual)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
+
+    t_d, _ = timeit(direct, (data, z0, l0, v0))
+    t_s, out_s = timeit(sharded, args)
+    stats = out_s[2]
+    eff = t_d / t_s
+    print(f"bench[sharded]: platform={platform} B={B} direct {t_d:.3f}s "
+          f"vs shard_map {t_s:.3f}s -> per-chip efficiency {eff:.3f}; "
+          f"success {int(stats.num_success)}/{B}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "sharding_per_chip_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "vs_baseline": round(eff / 0.85, 3),
+    }))
+
+
 def run_adaptive(B=None):
     """python bench.py adaptive: two-phase adaptive vs one-shot on the
     headline workload (VERDICT r1 item 4: measured uplift or a documented
@@ -450,6 +510,8 @@ if __name__ == "__main__":
         run_refine()
     elif len(sys.argv) > 1 and sys.argv[1] == "adaptive":
         run_adaptive()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sharded":
+        run_sharded()
     elif len(sys.argv) > 1 and sys.argv[1] == "copoly":
         run_copoly()
     else:

@@ -26,7 +26,11 @@ from fbstab_tpu.models.mpc_qp import (
     solve_mpc_qp,
     solve_mpc_qp_batch,
 )
-from fbstab_tpu.models.refine import VariableDF, refine_mpc_batch
+from fbstab_tpu.models.refine import (
+    VariableDF,
+    refine_dense_batch,
+    refine_mpc_batch,
+)
 from fbstab_tpu.options import Display, Options
 from fbstab_tpu.solver_out import ExitFlag, SolverOut
 
@@ -48,6 +52,7 @@ __all__ = [
     "dense_qp_data",
     "fbstab_solve",
     "mpc_qp_data",
+    "refine_dense_batch",
     "refine_mpc_batch",
     "solve_dense_qp",
     "solve_dense_qp_batch",

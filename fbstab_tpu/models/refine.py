@@ -227,3 +227,75 @@ def refine_mpc_batch(data: MpcQPData, x: Variable,
            jnp.concatenate([zx[1], zu[1]], axis=2).reshape(x.z.shape)),
         l=_flat(l, N1 * nx), v=_flat(v, N1 * nc), y=_flat(y, N1 * nc))
     return refined, jnp.stack(history)
+
+
+# ------------------------------------------------------------------
+# Dense QP refinement (same scheme; explicit-matrix compensated matvecs).
+# ------------------------------------------------------------------
+
+def _dense_kkt_residual_df(d, z, l, v, y, alpha):
+    """pfb-flavored KKT residual in double-float for a batched dense QP
+    (reference: full_residual.cc:49-74 at xbar = x)."""
+    rz = df_add(df_add(df(d.f), df_matvec(d.H, z)),
+                df_add(df_matvec_T(d.G, l), df_matvec_T(d.A, v)))
+    rl = df_sub(df(d.h), df_matvec(d.G, z))
+    s = df_sqrt(df_add(df_mul(y, y), df_mul(v, v)))
+    fb = df_sub(df_add(y, v), s)
+    pen = df_mul(df_max0(y), df_max0(v))
+    a = jnp.asarray(alpha, d.f.dtype)
+    rv = df_add(df_mul_f(fb, a), df_mul_f(pen, 1.0 - a))
+    return rz, rl, rv
+
+
+def _dense_pnr_norm_df(d, z, l, v, y, alpha):
+    rz, rl, _ = _dense_kkt_residual_df(d, z, l, v, y, alpha)
+    nr = df_min(y, v)
+    pen = df_mul(df_max0(y), df_max0(v))
+    a = jnp.asarray(alpha, d.f.dtype)
+    rv = df_add(df_mul_f(nr, a), df_mul_f(pen, 1.0 - a))
+    sq = lambda p: jnp.sum(df_to(p) ** 2, axis=-1)
+    return jnp.sqrt(sq(rz) + sq(rl) + sq(rv))
+
+
+def refine_dense_batch(data, x: Variable, options: Options = Options(),
+                       steps: int = 3) -> tuple[VariableDF, jnp.ndarray]:
+    """Polishes a batched f32 dense-QP solution toward the 1e-6 contract
+    (see refine_mpc_batch; the correction solves use the quasi-definite
+    block factorization of models/dense_qp.py under vmap)."""
+    from fbstab_tpu.models import dense_qp as _dense
+
+    opts = options.validated()
+    dtype = x.z.dtype
+    alpha = opts.alpha
+    sigma = jnp.asarray(opts.sigma0, dtype)
+
+    z, l, v = df(x.z), df(x.l), df(x.v)
+
+    def margin(z_):
+        return df_sub(df(data.b), df_matvec(data.A, z_))
+
+    y = margin(z)
+
+    def newton(z_, l_, v_, y_, rz, rl, rv):
+        def one(d, zz, ll, vv, yy, rz_, rl_, rv_):
+            xx = Variable(z=zz, l=ll, v=vv, y=yy)
+            fact = _dense._factor(d, xx, xx, sigma, alpha)
+            ok = _dense._factor_ok(fact)
+            dx = _dense._newton_solve(d, fact, -rz_, -rl_, -rv_)
+            return dx, ok
+
+        return jax.vmap(one)(data, df_to(z_), df_to(l_), df_to(v_),
+                             df_to(y_), df_to(rz), df_to(rl), df_to(rv))
+
+    history = [_dense_pnr_norm_df(data, z, l, v, y, alpha)]
+    for _ in range(steps):
+        rz, rl, rv = _dense_kkt_residual_df(data, z, l, v, y, alpha)
+        dx, ok = newton(z, l, v, y, rz, rl, rv)
+        guard = lambda c: jnp.where(ok[:, None], c, jnp.zeros_like(c))
+        z = df_add(z, df(guard(dx.z)))
+        l = df_add(l, df(guard(dx.l)))
+        v = df_max0(df_add(v, df(guard(dx.v))))
+        y = margin(z)
+        history.append(_dense_pnr_norm_df(data, z, l, v, y, alpha))
+
+    return VariableDF(z=z, l=l, v=v, y=y), jnp.stack(history)

@@ -63,25 +63,32 @@ TILE_B = 128
 
 
 def _stage_matvec(M, w, n, m):
-    """out(s) = M(s) @ w(s) per stage: M (N1, n, m, B), w (N1*m, B)
-    -> (N1*n, B). Unrolled over the m columns; every op is a 3-D
-    elementwise with a (N1, 1, B) sublane broadcast (Mosaic-supported)."""
+    """out(s) = M(s) @ w(s) per stage: M (N1, n, m, B) REF or value,
+    w (N1*m, B) -> (N1*n, B). Unrolled over the m columns; every op is a
+    3-D elementwise with a (N1, 1, B) sublane broadcast
+    (Mosaic-supported). M is sliced per column so only (N1, n, B) pieces
+    are ever live — materializing a whole (N1, n, m, B) stage matrix as a
+    value costs ~17 MB at nx=18/N=80 and is exactly what spills the
+    register allocator."""
     N1 = M.shape[0]
-    ws = w.reshape(N1, m, M.shape[-1])
+    B = M.shape[-1]
+    ws = w.reshape(N1, m, B)
     acc = M[:, :, 0] * ws[:, 0][:, None]
     for j in range(1, m):
         acc = acc + M[:, :, j] * ws[:, j][:, None]
-    return acc.reshape(N1 * n, M.shape[-1])
+    return acc.reshape(N1 * n, B)
 
 
 def _stage_matvec_T(M, w, n, m):
-    """out(s) = M(s)' @ w(s): M (N1, n, m, B), w (N1*n, B) -> (N1*m, B)."""
+    """out(s) = M(s)' @ w(s): M (N1, n, m, B) ref/value, w (N1*n, B) ->
+    (N1*m, B). Sliced per row (see _stage_matvec)."""
     N1 = M.shape[0]
-    ws = w.reshape(N1, n, M.shape[-1])
+    B = M.shape[-1]
+    ws = w.reshape(N1, n, B)
     acc = M[:, 0] * ws[:, 0][:, None]
     for i in range(1, n):
         acc = acc + M[:, i] * ws[:, i][:, None]
-    return acc.reshape(N1 * m, M.shape[-1])
+    return acc.reshape(N1 * m, B)
 
 
 def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
@@ -100,53 +107,61 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
                eflag_out, res_out, newton_out, prox_out, e0_out,
                # scratch for the Newton step (x/u parts separate: Mosaic
                # cannot reduce over the offset layouts produced by slicing
-               # the stage dim at non-sublane-aligned nx boundaries)
+               # the stage dim at non-sublane-aligned nx boundaries), plus
+               # the xk/xi iterate state in VMEM refs: carrying whole
+               # iterates through the while loops as SSA values makes the
+               # register allocator spill every live copy to scoped-VMEM
+               # slots (measured 144 MB of spill slots at nx=18/N=80);
+               # ref-based state bounds the live set to the few vectors
+               # actually being combined.
                *scr):
         if lowmem:
             (rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
-             dzx_s, dzu_s, dl_s, Lc, th_s, h_s, red_s) = scr
+             dzx_s, dzu_s, dl_s, dv_s, dy_s,
+             kzx, kzu, kl, kv, ky, izx, izu, il, iv, iy,
+             Lc, th_s, h_s, red_s) = scr
             Mc = SMc = SGc = None
         else:
             (rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
-             dzx_s, dzu_s, dl_s, Lc, Mc, SMc, SGc, th_s, h_s, red_s) = scr
+             dzx_s, dzu_s, dl_s, dv_s, dy_s,
+             kzx, kzu, kl, kv, ky, izx, izu, il, iv, iy,
+             Lc, Mc, SMc, SGc, th_s, h_s, red_s) = scr
         f32 = Q_ref.dtype
         Bl = Q_ref.shape[-1]
 
         # ---------- stage-structured operators (2-D state) ----------
+        # The stage-matrix REFS go straight into the matvec helpers, which
+        # slice one column at a time: loading a whole matrix as a value
+        # (Q_ref[...]) keeps a multi-MB register-resident array live per
+        # operator and blows the register allocator into scoped-VMEM spill
+        # slots at large stage dims.
         def gemvH(zx, zu):
-            Q = Q_ref[...]
-            S = S_ref[...]
-            R = R_ref[...]
-            yx = (_stage_matvec(Q, zx, nx, nx)
-                  + _stage_matvec_T(S, zu, nu, nx))
-            yu = (_stage_matvec(S, zx, nu, nx)
-                  + _stage_matvec(R, zu, nu, nu))
+            yx = (_stage_matvec(Q_ref, zx, nx, nx)
+                  + _stage_matvec_T(S_ref, zu, nu, nx))
+            yu = (_stage_matvec(S_ref, zx, nu, nx)
+                  + _stage_matvec(R_ref, zu, nu, nu))
             return yx, yu
 
         def gemvA(zx, zu):
-            return (_stage_matvec(E_ref[...], zx, nc, nx)
-                    + _stage_matvec(L_ref[...], zu, nc, nu))
+            return (_stage_matvec(E_ref, zx, nc, nx)
+                    + _stage_matvec(L_ref, zu, nc, nu))
 
         def gemvG(zx, zu):
-            A = A_ref[...]          # (N, nx, nx, B)
-            Bm = B_ref[...]         # (N, nx, nu, B)
             zxs = zx.reshape(Np1, nx, Bl)
             zus = zu.reshape(Np1, nu, Bl)
-            tail = (_stage_matvec(A, zxs[:-1].reshape(N * nx, Bl), nx, nx)
-                    .reshape(N, nx, Bl)
-                    + _stage_matvec(Bm, zus[:-1].reshape(N * nu, Bl),
+            tail = (_stage_matvec(A_ref, zxs[:-1].reshape(N * nx, Bl),
+                                  nx, nx).reshape(N, nx, Bl)
+                    + _stage_matvec(B_ref, zus[:-1].reshape(N * nu, Bl),
                                     nx, nu).reshape(N, nx, Bl)
                     - zxs[1:])
             return jnp.concatenate([-zxs[:1], tail],
                                    axis=0).reshape(Np1 * nx, Bl)
 
         def gemvGT(l):
-            A = A_ref[...]
-            Bm = B_ref[...]
             ls = l.reshape(Np1, nx, Bl)
             lp = ls[1:].reshape(N * nx, Bl)
-            atv = _stage_matvec_T(A, lp, nx, nx).reshape(N, nx, Bl)
-            btv = _stage_matvec_T(Bm, lp, nx, nu).reshape(N, nu, Bl)
+            atv = _stage_matvec_T(A_ref, lp, nx, nx).reshape(N, nx, Bl)
+            btv = _stage_matvec_T(B_ref, lp, nx, nu).reshape(N, nu, Bl)
             zx = jnp.zeros((1, nx, Bl), f32)
             zu = jnp.zeros((1, nu, Bl), f32)
             yx = -ls + jnp.concatenate([atv, zx], axis=0)
@@ -154,8 +169,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             return yx.reshape(Np1 * nx, Bl), yu.reshape(Np1 * nu, Bl)
 
         def gemvAT(v):
-            yx = _stage_matvec_T(E_ref[...], v, nc, nx)
-            yu = _stage_matvec_T(L_ref[...], v, nc, nu)
+            yx = _stage_matvec_T(E_ref, v, nc, nx)
+            yu = _stage_matvec_T(L_ref, v, nc, nu)
             return yx, yu
 
         fx = q_ref[...].reshape(Np1 * nx, Bl)
@@ -240,9 +255,33 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
         def sel_x(m, a, b):
             return X(sel(m, ai, bi) for ai, bi in zip(a, b))
 
+        _STATE_NS = (nx, nu, nx, nc, nc)
+
+        def rd(ref, n):
+            return ref[...].reshape(Np1 * n, Bl)
+
+        def kstate():
+            return X((rd(kzx, nx), rd(kzu, nu), rd(kl, nx), rd(kv, nc),
+                      rd(ky, nc)))
+
+        def istate():
+            return X((rd(izx, nx), rd(izu, nu), rd(il, nx), rd(iv, nc),
+                      rd(iy, nc)))
+
+        def dstep():
+            return X((rd(dzx_s, nx), rd(dzu_s, nu), rd(dl_s, nx),
+                      rd(dv_s, nc), rd(dy_s, nc)))
+
+        def wr_state(refs, vals):
+            for r, v_, n in zip(refs, vals, _STATE_NS):
+                r[...] = v_.reshape(Np1, n, Bl)
+
+        I_REFS = (izx, izu, il, iv, iy)
+        K_REFS = (kzx, kzu, kl, kv, ky)
+
         def newton_step(zx, zu, l, v, y, bv, rzx, rzu, rl, rv):
             """Writes -r into scratch, runs the Riccati factor/solve,
-            returns (dzx, dzu, dl, dv, dy, ok)."""
+            leaves the step (dzx..dy) in the d-refs, returns ok."""
             rzx_s[...] = (-rzx).reshape(Np1, nx, Bl)
             rzu_s[...] = (-rzu).reshape(Np1, nu, Bl)
             rl_s[...] = (-rl).reshape(Np1, nx, Bl)
@@ -258,9 +297,9 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
                 Lc, Mc, SMc, SGc, None, None, th_s, h_s,
                 N=N, nx=nx, nu=nu, nc=nc, alpha=alpha, store_AP=False,
                 store_factors=not lowmem)
-            dzx = dzx_s[...].reshape(Np1 * nx, Bl)
-            dzu = dzu_s[...].reshape(Np1 * nu, Bl)
-            dl = dl_s[...].reshape(Np1 * nx, Bl)
+            dzx = rd(dzx_s, nx)
+            dzu = rd(dzu_s, nu)
+            dl = rd(dl_s, nx)
             # Dual recovery (riccati_linear_solver.cc:329-342).
             ys = y + sigma * (v - bv)
             rr = jnp.sqrt(ys * ys + v * v)
@@ -276,8 +315,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             gb = jnp.where(deg, dgn, gb)
             mus = gb + sigma * ga
             Adz = gemvA(dzx, dzu)
-            dv = (-rv + ga * Adz) / mus
-            dy = bb - Adz
+            dv_s[...] = ((-rv + ga * Adz) / mus).reshape(Np1, nc, Bl)
+            dy_s[...] = (bb - Adz).reshape(Np1, nc, Bl)
             nan_ct = mater(jnp.sum(jnp.isnan(dzx).astype(f32), axis=0,
                                    keepdims=True)
                            + jnp.sum(jnp.isnan(dzu).astype(f32), axis=0,
@@ -285,7 +324,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
                            + jnp.sum(jnp.isnan(dl).astype(f32), axis=0,
                                      keepdims=True))
             ok = nan_ct < 0.5
-            return dzx, dzu, dl, dv, dy, ok
+            return ok
 
         # ---------- initialization (impl.h:139-149) ----------
         zx0 = zx0_ref[...].reshape(Np1 * nx, Bl)
@@ -318,21 +357,29 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
         false_b = zero_row > 1.0
 
         # ---------- inner subproblem (impl.h:229-304) ----------
-        def solve_subproblem(xk, xbar, itol, Ek_outer, newton0, active):
+        # The iterate xi lives in the i-refs, the (fixed) prox center
+        # xbar = xk in the k-refs; only scalars/rows ride the while carry.
+        def solve_subproblem(itol, Ek_outer, newton0, active):
             merit0 = jnp.concatenate([zero_row] * NONMONOTONE_DEPTH,
                                      axis=0)
+
+            # xi <- xk (impl.h:182).
+            for ri_, rk_ in zip(I_REFS, K_REFS):
+                ri_[...] = rk_[...]
 
             def icond(c):
                 (i, go) = c[0], c[1]
                 return go & (i < opts.max_inner_iters)
 
             def ibody(c):
-                (i, _, xi, Eo, ninfo, merit_buf, idone_i, lfail_i,
+                (i, _, Eo, ninfo, merit_buf, idone_i, lfail_i,
                  Ei_best, stall_ct) = c
                 # Masks ride the carry as int32 rows: Mosaic cannot lower
                 # (1, B) bool while-carries (sublane broadcast).
                 idone = idone_i > 0
                 lfail = lfail_i > 0
+                xi = istate()
+                xbar = kstate()
                 ri = inner_residual(*xi, xbar[0], xbar[1], xbar[2],
                                     xbar[3])
                 Ei = rnorm(ri)
@@ -349,8 +396,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
                 Ei_best = jnp.minimum(Ei_best, Ei)
 
                 step = active & ~idone & ~brk & ~lfail
-                dzx, dzu, dl, dv, dy, ok = newton_step(
-                    *xi, xbar[3], *ri)
+                ok = newton_step(*xi, xbar[3], *ri)
                 lfail_new = lfail | (step & ~ok)
 
                 current_merit = 0.5 * Ei * Ei
@@ -367,13 +413,15 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
                 def lbody(lc):
                     j, t, _, _ = lc
                     tb = t
+                    xi_ = istate()
+                    d = dstep()
                     # Trial x + t*dx with the margin rule
                     # y <- y + t*(dy - b) (full_variable.cc:55-65).
-                    xp = X((xi[0] + tb * dzx, xi[1] + tb * dzu,
-                            xi[2] + tb * dl, xi[3] + tb * dv,
-                            xi[4] + tb * (dy - bb)))
-                    rp = inner_residual(*xp, xbar[0], xbar[1], xbar[2],
-                                        xbar[3])
+                    xp = X((xi_[0] + tb * d[0], xi_[1] + tb * d[1],
+                            xi_[2] + tb * d[2], xi_[3] + tb * d[3],
+                            xi_[4] + tb * (d[4] - bb)))
+                    xb = kstate()
+                    rp = inner_residual(*xp, xb[0], xb[1], xb[2], xb[3])
                     np_ = rnorm(rp)
                     mp = 0.5 * np_ * np_
                     accept = mp <= m0 - 2.0 * t * opts.eta * current_merit
@@ -387,29 +435,31 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
                     (i32(0), one_row, jnp.bool_(True), zeros_i))
 
                 tm = step.astype(f32) * t_fin
-                xi_new = X((xi[0] + tm * dzx, xi[1] + tm * dzu,
-                            xi[2] + tm * dl, xi[3] + tm * dv,
-                            xi[4] + tm * (dy - bb)))
+                d = dstep()
+                wr_state(I_REFS, X((
+                    xi[0] + tm * d[0], xi[1] + tm * d[1],
+                    xi[2] + tm * d[2], xi[3] + tm * d[3],
+                    xi[4] + tm * (d[4] - bb))))
 
                 ninfo_new = ninfo + step.astype(jnp.int32)
                 Eo_out = blend(active & ~idone, Eo_new, Eo)
                 idone_new = idone | (brk & active) | ~active
 
                 go = jnp.any(active & ~idone_new & ~lfail_new)
-                return (i + 1, go, xi_new, Eo_out, ninfo_new, buf,
+                return (i + 1, go, Eo_out, ninfo_new, buf,
                         idone_new.astype(jnp.int32),
                         lfail_new.astype(jnp.int32), Ei_best, stall_ct)
 
-            init = (i32(0), jnp.any(active), xk,
+            init = (i32(0), jnp.any(active),
                     zero_row, newton0, merit0,
                     zeros_i, zeros_i,
                     zero_row + jnp.inf, zeros_i)
-            (_, _, xi, Eo, ninfo, _, _, lfail_i, _, _) = lax.while_loop(
+            (_, _, Eo, ninfo, _, _, lfail_i, _, _) = lax.while_loop(
                 icond, ibody, init)
             lfail = lfail_i > 0
             # Project duals (impl.h:301).
-            xi = X((xi[0], xi[1], xi[2], jnp.maximum(xi[3], 0.0), xi[4]))
-            return xi, Eo, ninfo, lfail
+            iv[...] = jnp.maximum(iv[...], 0.0)
+            return Eo, ninfo, lfail
 
         # ---------- outer proximal loop (impl.h:158-224) ----------
         def write_out(mask, xval):
@@ -433,17 +483,20 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             return c[1] & (c[0] < opts.max_prox_iters)
 
         def obody(c):
-            (k, _, xk, dxn, itol, Ek_prev, ninfo, pinfo, done_i, eflag,
+            (k, _, dxn, itol, Ek_prev, ninfo, pinfo, done_i, eflag,
              ores) = c
             done = done_i > 0
+            xk = kstate()
             Ek = rnorm(pnr(*xk))
             success = (Ek <= combo_tol) | (dxn <= opts.stall_tol)
 
             itol_new = jnp.clip(itol * opts.delta, opts.inner_tol_min, Ek)
 
             active = ~done & ~success
-            xi, Eo, ninfo_new, lfail = solve_subproblem(
-                xk, xk, itol_new, Ek, ninfo, active)
+            Eo, ninfo_new, lfail = solve_subproblem(
+                itol_new, Ek, ninfo, active)
+            xi = istate()
+            xk = kstate()    # re-read: shortens live ranges across the loop
 
             dx_new = X((xi[0] - xk[0], xi[1] - xk[1], xi[2] - xk[2],
                         xi[3] - xk[3], xi[4] - xk[4] + bb))
@@ -518,29 +571,30 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             ores_new = blend(success & ~done, Ek, ores_new)
 
             cont = ~done_new
-            xk_next = sel_x(cont, xi, xk)
+            wr_state(K_REFS, sel_x(cont, xi, xk))  # x(k+1) = xi
             pinfo_new = pinfo + cont.astype(jnp.int32)
             Ek_keep = blend(done, Ek_prev, Ek)
 
             go = jnp.any(cont)
-            return (k + 1, go, xk_next, dxn_out, itol_new, Ek_keep,
+            return (k + 1, go, dxn_out, itol_new, Ek_keep,
                     ninfo_new, pinfo_new, done_new.astype(jnp.int32),
                     eflag_new, ores_new)
 
         # Output refs start undefined: initialize with the warmstart so
         # masked exit-writes compose against defined data.
+        wr_state(K_REFS, xk0)
         write_out(zero_row < 1.0, xk0)
 
-        init = (i32(0), jnp.bool_(True), xk0, dxn0, itol0,
+        init = (i32(0), jnp.bool_(True), dxn0, itol0,
                 E0, zeros_i, zeros_i, zeros_i,
                 zeros_i + int(ExitFlag.MAXITERATIONS),
                 E0)
-        (_, _, xk_f, _, _, Ek_f, ninfo_f, pinfo_f, done_fi, eflag_f,
+        (_, _, _, _, Ek_f, ninfo_f, pinfo_f, done_fi, eflag_f,
          ores_f) = lax.while_loop(ocond, obody, init)
         done_f = done_fi > 0
 
         # Prox budget exhausted (impl.h:219-223): xk with last Ek.
-        write_out(~done_f, xk_f)
+        write_out(~done_f, kstate())
         out_res = blend(done_f, ores_f, Ek_f)
         eflag_fin = blend(done_f, eflag_f,
                           jnp.zeros((1, Bl), i32)
@@ -619,6 +673,13 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
         jax.ShapeDtypeStruct((1, tile_b), dtype),
     )
+    state = [
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # zx
+        pltpu.VMEM((N1, nu, tile_b), dtype),       # zu
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # l
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # v
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # y
+    ]
     scratch = [
         pltpu.VMEM((N1, nx, tile_b), dtype),       # rzx_s
         pltpu.VMEM((N1, nu, tile_b), dtype),       # rzu_s
@@ -630,6 +691,10 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         pltpu.VMEM((N1, nx, tile_b), dtype),       # dzx_s
         pltpu.VMEM((N1, nu, tile_b), dtype),       # dzu_s
         pltpu.VMEM((N1, nx, tile_b), dtype),       # dl_s
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # dv_s
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # dy_s
+        *state,                                    # xk refs
+        *state,                                    # xi refs
         pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
     ]
     if not lowmem:

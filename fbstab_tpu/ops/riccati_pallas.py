@@ -471,6 +471,21 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
         jax.ShapeDtypeStruct((N1, nu, Bp), dtype),
         jax.ShapeDtypeStruct((N1, nx, Bp), dtype),
     )
+    # Large-dims (lowmem) tiles are launched via lax.map with whole-tile
+    # windows instead of a pipelined grid: grid pipelining DOUBLE-buffers
+    # the input windows, and at nx=18/N=80 the doubled stage matrices
+    # alone exceed physical VMEM (measured 153 MB > 128 MB). The HBM
+    # loads are microseconds against milliseconds of compute per tile, so
+    # pipelining buys nothing here anyway.
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    map_in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [vspec() for _ in range(14)])
+    map_out_specs = (vspec(), vspec(), vspec())
+    map_out_shape = (
+        jax.ShapeDtypeStruct((N1, nx, tile_b), dtype),
+        jax.ShapeDtypeStruct((N1, nu, tile_b), dtype),
+        jax.ShapeDtypeStruct((N1, nx, tile_b), dtype),
+    )
     if lowmem:
         scratch = [
             pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
@@ -493,16 +508,42 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
         _newton_step_kernel, N=N, nx=nx, nu=nu, nc=nc, alpha=alpha,
         lowmem=lowmem)
 
-    dzx_t, dzu_t, dl_t = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(sig, Qb, Rb, Sb, Ab, Bb, Eb, Lb, vb, yb, vbarb, rzxb, rzub, rlb,
-      rvb)
+    ins = (sig, Qb, Rb, Sb, Ab, Bb, Eb, Lb, vb, yb, vbarb, rzxb, rzub,
+           rlb, rvb)
+    if lowmem:
+        call = pl.pallas_call(
+            kernel,
+            in_specs=map_in_specs,
+            out_specs=map_out_specs,
+            out_shape=map_out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )
+        T = Bp // tile_b
+
+        def tiles(a):
+            # (..., Bp) -> (T, ..., tile_b)
+            moved = jnp.moveaxis(a, -1, 0).reshape(
+                (T, tile_b) + a.shape[:-1])
+            return jnp.moveaxis(moved, 1, -1)
+
+        tiled = tuple(a if a is sig else tiles(a) for a in ins)
+        outs = lax.map(
+            lambda t: call(sig, *t), tiled[1:])
+        dzx_t, dzu_t, dl_t = (
+            jnp.moveaxis(jnp.moveaxis(o, -1, 1).reshape(
+                (Bp,) + o.shape[1:-1]), 0, -1)
+            for o in outs)
+    else:
+        dzx_t, dzu_t, dl_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*ins)
 
     dzx = _from_bl(dzx_t)[:B]
     dzu = _from_bl(dzu_t)[:B]

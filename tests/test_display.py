@@ -1,0 +1,85 @@
+"""Iteration display parity (reference: fbstab_algorithm-impl.h:402-541).
+
+Checks the ITER / ITER_DETAILED / FINAL output shapes: column headers,
+one line per outer iteration with blockwise norms, detailed per-Newton
+lines with step sizes, and the closing tolerance table.
+"""
+
+import dataclasses
+import re
+
+import jax
+import numpy as np
+
+from fbstab_tpu import ExitFlag, FBstabDense, Options, dense_qp_data
+from fbstab_tpu.options import Display
+from fbstab_tpu.parallel.sharded import batch_stats
+from fbstab_tpu.utils.printing import OutputStream, print_batch_final
+
+
+def _solve_with(display, capfd):
+    data = dense_qp_data(H=[[3., 1.], [1., 1.]], f=[10., 5.],
+                         A=[[-1., 0.], [0., 1.]], b=[0., 0.])
+    s = FBstabDense(2, 0, 2)
+    s.update_options(Options(abs_tol=1e-8, display_level=display))
+    x, out = s.solve(data)
+    jax.effects_barrier()
+    captured = capfd.readouterr().out
+    return x, out, captured
+
+
+def test_iter_display_columns(capfd):
+    x, out, text = _solve_with(Display.ITER, capfd)
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    # Header with the reference's seven columns (impl.h:428-441).
+    assert any("prox iter" in ln and "newton iters" in ln
+               and "|rz|" in ln and "|rl|" in ln and "|rv|" in ln
+               and "Inner res" in ln and "Inner tol" in ln
+               for ln in lines)
+    # One data line per outer iteration (prox_iters+1 exit line).
+    data_lines = [ln for ln in lines
+                  if re.match(r"\s+\d+\s+\d+\s+[\d.e+-]+", ln)]
+    assert len(data_lines) == int(np.asarray(out.prox_iters)) + 1
+    # Final summary table present (Display.FINAL implied by ITER).
+    assert "Optimization completed!" in text
+    assert "Tolerance" in text
+
+
+def test_iter_detailed_display(capfd):
+    x, out, text = _solve_with(Display.ITER_DETAILED, capfd)
+    assert "Begin Prox Iter:" in text
+    assert "Step Size" in text
+    assert "Exiting inner loop." in text
+    # Detailed lines carry five numeric columns.
+    assert re.search(r"\d+\s+1\.0\d+e\+00\s+[\d.e+-]+\s+[\d.e+-]+", text)
+
+
+def test_off_prints_nothing(capfd):
+    x, out, text = _solve_with(Display.OFF, capfd)
+    assert text.strip() == ""
+    assert ExitFlag(int(out.eflag)) == ExitFlag.SUCCESS
+
+
+def test_batch_final_summary():
+    class Sink(OutputStream):
+        def __init__(self):
+            self.buf = []
+
+        def print(self, msg):
+            self.buf.append(msg)
+
+    import jax.numpy as jnp
+
+    from fbstab_tpu.core.algorithm import CoreOut
+    core = CoreOut(
+        eflag=jnp.asarray([0, 0, 3, 6]),
+        residual=jnp.asarray([1e-9, 2e-9, 1.0, 0.5]),
+        newton_iters=jnp.asarray([5, 7, 20, 60]),
+        prox_iters=jnp.asarray([2, 2, 10, 30]),
+        initial_residual=jnp.asarray([1.0, 1.0, 1.0, 1.0]))
+    sink = Sink()
+    print_batch_final(core, Options(display_level=Display.FINAL), sink)
+    text = "".join(sink.buf)
+    assert "4 instances" in text
+    assert "success: 2" in text and "infeasible: 1" in text \
+        and "failed: 1" in text

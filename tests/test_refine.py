@@ -66,6 +66,37 @@ def test_refine_reaches_contract(monkeypatch):
     np.testing.assert_allclose(h_final, pol, rtol=0.3, atol=1e-9)
 
 
+def test_refine_dense_reaches_contract(monkeypatch):
+    """Dense analog: f32 batch + polish -> f64-verified residual <= 1e-6."""
+    import fbstab_tpu.models.dense_qp as dense
+    from bench import build_dense_batch
+    from fbstab_tpu.models.refine import refine_dense_batch
+
+    monkeypatch.setattr(dense, "PALLAS_MODE", "off")
+    jax.clear_caches()
+
+    B = 48
+    opts = Options.single_precision()
+    data, z0, l0, v0 = build_dense_batch(B, 16, 24, jnp.float32)
+    x, core = dense.solve_dense_qp_batch(data, z0, l0, v0, opts)
+    assert np.all(np.asarray(core.eflag) == 0)
+
+    refined, hist = refine_dense_batch(data, x, opts, steps=3)
+    sol = refined.to_float64()
+
+    d64 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a, np.float64)),
+                       data)
+    x64 = jax.tree.map(lambda a: jnp.asarray(a), sol)
+    y64 = jax.vmap(lambda d, z: d.b - d.A @ z)(d64, x64.z)
+    x64 = x64._replace(y=y64)
+    norms = jax.vmap(lambda d, xx: residual_norm(
+        penalized_natural_residual(dense.DENSE_OPS, d, xx, opts.alpha))
+    )(d64, x64)
+    res = np.asarray(norms)
+    assert float(np.mean(res <= 1e-6)) >= 0.95, (
+        f"polished med {np.median(res):.2e} max {res.max():.2e}")
+
+
 def test_refine_f64_materialization_exceeds_f32(monkeypatch):
     """The refined point carried as hi+lo must be strictly more accurate
     than its f32 rounding — i.e. the lo parts carry real information."""
