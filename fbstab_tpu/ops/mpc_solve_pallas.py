@@ -618,10 +618,14 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
     data: MpcQPData (batch-first leaves); z0/l0/v0: (B, nz/nl/nv).
     Returns (Variable, CoreOut) batch-first, matching
     vmap(fbstab_solve)'s contract. The batch is processed in TILE_B-lane
-    tiles via lax.map (serial tiles keep VMEM within budget; each tile is
-    a complete solve, so there is no cross-tile sync). lowmem selects the
-    recompute-factors Riccati mode (bit-identical results, ~18 MB less
-    VMEM per 128-lane tile at nx=18/N=80) so large stage dimensions fit.
+    tiles; each tile is a complete solve, so there is no cross-tile sync.
+    Standard mode launches the tiles as a pipelined Pallas grid so the
+    next tile's HBM->VMEM input windows are double-buffered against the
+    current tile's compute. lowmem selects the recompute-factors Riccati
+    mode (bit-identical results, ~18 MB less VMEM per 128-lane tile at
+    nx=18/N=80) so large stage dimensions fit; there the doubled input
+    windows would not fit (cf. riccati_pallas), so tiles go through a
+    serial lax.map with whole-array windows instead.
     """
     opts = options.validated()
     B = z0.shape[0]
@@ -641,9 +645,13 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         if pad:
             a = jnp.concatenate(
                 [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
-        # (Bp, *shape) -> (T, *shape, tile_b)
-        a = a.reshape((T, tile_b) + shape)
-        return jnp.moveaxis(a, 1, -1)
+        if lowmem:
+            # (Bp, *shape) -> (T, *shape, tile_b): serial lax.map tiles.
+            a = a.reshape((T, tile_b) + shape)
+            return jnp.moveaxis(a, 1, -1)
+        # (Bp, *shape) -> (*shape, Bp): pipelined-grid layout, the grid
+        # blocks over the trailing batch axis in tile_b lanes.
+        return jnp.moveaxis(a, 0, -1)
 
     ins = (
         prep(data.q, (N1, nx)), prep(data.r, (N1, nu)),
@@ -661,18 +669,16 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
     )
 
     kernel = _make_solve_kernel(N, nx, nu, nc, opts, lowmem=lowmem)
-    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shape = (
-        jax.ShapeDtypeStruct((N1, ns, tile_b), dtype),
-        jax.ShapeDtypeStruct((N1, nx, tile_b), dtype),
-        jax.ShapeDtypeStruct((N1, nc, tile_b), dtype),
-        jax.ShapeDtypeStruct((N1, nc, tile_b), dtype),
-        jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
-        jax.ShapeDtypeStruct((1, tile_b), dtype),
-        jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
-        jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
-        jax.ShapeDtypeStruct((1, tile_b), dtype),
+    in_shapes = (
+        (N1, nx), (N1, nu), (N, nx), (nx,), (N1, nc),
+        (N1, nx, nx), (N1, nu, nu), (N1, nu, nx),
+        (N, nx, nx), (N, nx, nu), (N1, nc, nx), (N1, nc, nu),
+        (N1, nx), (N1, nu), (N1, nx), (N1, nc),
     )
+    out_sh = ((N1, ns), (N1, nx), (N1, nc), (N1, nc),
+              (1,), (1,), (1,), (1,), (1,))
+    out_dt = (dtype, dtype, dtype, dtype,
+              jnp.int32, dtype, jnp.int32, jnp.int32, dtype)
     state = [
         pltpu.VMEM((N1, nx, tile_b), dtype),       # zx
         pltpu.VMEM((N1, nu, tile_b), dtype),       # zu
@@ -709,22 +715,51 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         pltpu.VMEM((1, tile_b), dtype),            # red_s (see mater)
     ]
 
-    call = pl.pallas_call(
-        kernel,
-        in_specs=[vspec() for _ in ins],
-        out_specs=tuple(vspec() for _ in out_shape),
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )
+    if lowmem:
+        vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        out_shape = tuple(
+            jax.ShapeDtypeStruct(s + (tile_b,), dt)
+            for s, dt in zip(out_sh, out_dt))
+        call = pl.pallas_call(
+            kernel,
+            in_specs=[vspec() for _ in ins],
+            out_specs=tuple(vspec() for _ in out_shape),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )
+        outs = lax.map(lambda a: call(*a), ins)
 
-    outs = lax.map(lambda a: call(*a), ins)
+        def unprep(a, flat):
+            # (T, *shape, tile_b) -> (B, flat)
+            a = jnp.moveaxis(a, -1, 1).reshape((Bp,) + a.shape[1:-1])
+            a = a[:B]
+            return a.reshape(B, flat) if flat else a.reshape(B)
+    else:
+        def gspec(shape):
+            nd = len(shape)
+            return pl.BlockSpec(
+                shape + (tile_b,),
+                (lambda *i, _nd=nd: (0,) * _nd + (i[0],)),
+                memory_space=pltpu.VMEM)
 
-    def unprep(a, flat):
-        # (T, *shape, tile_b) -> (B, flat)
-        a = jnp.moveaxis(a, -1, 1).reshape((Bp,) + a.shape[1:-1])
-        a = a[:B]
-        return a.reshape(B, flat) if flat else a.reshape(B)
+        out_shape = tuple(
+            jax.ShapeDtypeStruct(s + (Bp,), dt)
+            for s, dt in zip(out_sh, out_dt))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[gspec(s) for s in in_shapes],
+            out_specs=tuple(gspec(s) for s in out_sh),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*ins)
+
+        def unprep(a, flat):
+            # (*shape, Bp) -> (B, flat)
+            a = jnp.moveaxis(a, -1, 0)[:B]
+            return a.reshape(B, flat) if flat else a.reshape(B)
 
     z, l, v, y = (unprep(outs[0], N1 * ns), unprep(outs[1], N1 * nx),
                   unprep(outs[2], N1 * nc), unprep(outs[3], N1 * nc))
