@@ -440,12 +440,8 @@ def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
         if pad:
             a = jnp.concatenate(
                 [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
-        # (Bp, *shape) -> (*shape, Bp): the pallas grid blocks over the
-        # trailing batch axis in tile_b lanes, double-buffering the next
-        # tile's HBM->VMEM input windows against the current tile's
-        # compute (the dense kernel's VMEM footprint is small, so the
-        # doubled windows always fit).
-        return jnp.moveaxis(a, 0, -1)
+        a = a.reshape((T, tile_b) + shape)
+        return jnp.moveaxis(a, 1, -1)
 
     def prep_eq(a, shape):
         """Equality-block arrays; a zero dummy with nl_p rows when
@@ -466,35 +462,33 @@ def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
     )
 
     kernel = _make_dense_kernel(n, q, nl, opts)
-    in_shapes = ((n, n), (n,), (nl_p, n), (nl_p,), (q, n), (q,),
-                 (n,), (nl_p,), (q,))
-    out_sh = ((n,), (nl_p,), (q,), (q,), (1,), (1,), (1,), (1,), (1,))
-    out_dt = (dtype, dtype, dtype, dtype,
-              jnp.int32, dtype, jnp.int32, jnp.int32, dtype)
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((n, tile_b), dtype),
+        jax.ShapeDtypeStruct((nl_p, tile_b), dtype),
+        jax.ShapeDtypeStruct((q, tile_b), dtype),
+        jax.ShapeDtypeStruct((q, tile_b), dtype),
+        jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
+        jax.ShapeDtypeStruct((1, tile_b), dtype),
+        jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
+        jax.ShapeDtypeStruct((1, tile_b), jnp.int32),
+        jax.ShapeDtypeStruct((1, tile_b), dtype),
+    )
 
-    def gspec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            shape + (tile_b,),
-            (lambda *i, _nd=nd: (0,) * _nd + (i[0],)),
-            memory_space=pltpu.VMEM)
-
-    out_shape = tuple(
-        jax.ShapeDtypeStruct(s + (Bp,), dt)
-        for s, dt in zip(out_sh, out_dt))
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        grid=(T,),
-        in_specs=[gspec(s) for s in in_shapes],
-        out_specs=tuple(gspec(s) for s in out_sh),
+        in_specs=[vspec() for _ in ins],
+        out_specs=tuple(vspec() for _ in out_shape),
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((1, tile_b), dtype)],
         interpret=interpret,
-    )(*ins)
+    )
+
+    outs = lax.map(lambda a: call(*a), ins)
 
     def unprep(a, flat):
-        # (*shape, Bp) -> (B, flat)
-        a = jnp.moveaxis(a, -1, 0)[:B]
+        a = jnp.moveaxis(a, -1, 1).reshape((Bp,) + a.shape[1:-1])
+        a = a[:B]
         return a.reshape(B, flat) if flat else a.reshape(B)
 
     l = (unprep(outs[1], nl_p)[:, :nl] if nl > 0
