@@ -295,27 +295,38 @@ def _riccati_factor(d: MpcQPData, x: Variable, xbar: Variable, sigma, alpha
     return _riccati_factor_yv(d, x.y, x.v, xbar.v, sigma, alpha)
 
 
+def _stage_hessians(d: MpcQPData, Gam, sigma):
+    """Barrier-augmented stage Hessians, batched over stages
+    (riccati_linear_solver.cc:101-123):
+      Qhat = Q + sigma*I + E' diag(Gam) E
+      Rhat = R + sigma*I + L' diag(Gam) L
+      Shat = S + L' diag(Gam) E
+    """
+    N, nx, nu, nc = mpc_dims(d)
+    dtype = d.Q.dtype
+    Ix = jnp.eye(nx, dtype=dtype)
+    Iu = jnp.eye(nu, dtype=dtype)
+    Gs = Gam.reshape(N + 1, nc)
+    GE = Gs[:, :, None] * d.E
+    GL = Gs[:, :, None] * d.L
+    Qh = d.Q + sigma * Ix + jnp.einsum(
+        "sci,scj->sij", d.E, GE, precision="highest")
+    Rh = d.R + sigma * Iu + jnp.einsum(
+        "sci,scj->sij", d.L, GL, precision="highest")
+    Sh = d.S + jnp.einsum(
+        "sci,scj->sij", d.L, GE, precision="highest")
+    return Qh, Rh, Sh
+
+
 def _riccati_factor_yv(d: MpcQPData, y, v, vbar, sigma, alpha
                        ) -> RiccatiFactorization:
     N, nx, nu, nc = mpc_dims(d)
     dtype = d.Q.dtype
     Ix = jnp.eye(nx, dtype=dtype)
-    Iu = jnp.eye(nu, dtype=dtype)
     solve_tri = _tri
 
     gamma, mus, Gam = pfb_weights(y, v, vbar, sigma, alpha)
-    Gs = Gam.reshape(N + 1, nc)
-
-    # Barrier-augmented Hessian, batched over stages
-    # (riccati_linear_solver.cc:101-123):
-    #   Qhat = Q + sigma*I + E' diag(Gam) E
-    #   Rhat = R + sigma*I + L' diag(Gam) L
-    #   Shat = S + L' diag(Gam) E
-    GE = Gs[:, :, None] * d.E
-    GL = Gs[:, :, None] * d.L
-    Qh = d.Q + sigma * Ix + jnp.einsum("sci,scj->sij", d.E, GE, precision="highest")
-    Rh = d.R + sigma * Iu + jnp.einsum("sci,scj->sij", d.L, GL, precision="highest")
-    Sh = d.S + jnp.einsum("sci,scj->sij", d.L, GE, precision="highest")
+    Qh, Rh, Sh = _stage_hessians(d, Gam, sigma)
 
     def cho_inverse(Lf):
         # inv(Lf Lf') via two triangular solves (the reference materializes
@@ -599,12 +610,106 @@ MPC_OPS = ProblemOps(
 
 
 # ------------------------------------------------------------------
+# Parallel-in-horizon (associative-scan) Riccati variant
+# (ops/assoc_riccati.py): O(log N) depth per Newton step for long
+# horizons. Solves the same system as _riccati_solve in a different
+# floating-point order, so iterate paths can differ at roundoff.
+# ------------------------------------------------------------------
+
+# "auto" switches the single-instance solve to the parallel Riccati at
+# these horizons. Measured single-instance crossovers (double
+# integrator): TPU v5e f32 — assoc wins already at N=60 (1.7x) and by
+# 15.6x at N=480 (the scan path's per-stage HLO dispatch dominates);
+# CPU f64 — crossover near N=240.
+ASSOC_MIN_HORIZON_TPU = 48
+ASSOC_MIN_HORIZON = 192
+
+
+def _assoc_newton_solve(d: MpcQPData, fact: RiccatiFactorization,
+                        rz, rl, rv) -> Variable:
+    """ProblemOps.newton_solve via the parallel Riccati. `fact` supplies
+    only the PFB weights; the stage Hessians are rebuilt (cheap, stage
+    batched) and the factorization work happens inside the parallel
+    solve itself."""
+    from fbstab_tpu.ops.assoc_riccati import assoc_kkt_solve
+
+    N, nx, nu, nc = mpc_dims(d)
+    # sigma is not threaded through newton_solve; recover it from the
+    # factorization's base case L(0) = sqrt(sigma)*I.
+    sigma = fact.L[0, 0, 0] ** 2
+    Qh, Rh, Sh = _stage_hessians(d, fact.gamma / fact.mus, sigma)
+
+    r1 = rz - _gemvAT(d, rv / fact.mus)
+    r1s = r1.reshape(N + 1, nx + nu)
+    rls = rl.reshape(N + 1, nx)
+    xs, us, lams = assoc_kkt_solve(
+        Qh, Rh, Sh, d.A, d.B, r1s[:, :nx], r1s[:, nx:], rls, sigma)
+
+    dz = jnp.concatenate([xs, us], axis=1).reshape(-1)
+    dl = lams.reshape(-1)
+    Adz = _gemvA(d, dz)
+    dv = (rv + fact.gamma * Adz) / fact.mus
+    dy = _b_vec(d) - Adz
+    return Variable(z=dz, l=dl, v=dv, y=dy)
+
+
+def _assoc_newton_step(d, x: Variable, xbar: Variable, sigma, alpha,
+                       rz, rl, rv):
+    """ProblemOps.newton_step via the parallel Riccati: weights + stage
+    Hessians + the associative-scan solve, no sequential recursion."""
+    from fbstab_tpu.ops.assoc_riccati import assoc_kkt_solve
+
+    N, nx, nu, nc = mpc_dims(d)
+    gamma, mus, Gam = pfb_weights(x.y, x.v, xbar.v, sigma, alpha)
+    Qh, Rh, Sh = _stage_hessians(d, Gam, sigma)
+
+    r1 = rz - _gemvAT(d, rv / mus)
+    r1s = r1.reshape(N + 1, nx + nu)
+    rls = rl.reshape(N + 1, nx)
+    xs, us, lams = assoc_kkt_solve(
+        Qh, Rh, Sh, d.A, d.B, r1s[:, :nx], r1s[:, nx:], rls, sigma)
+
+    dz = jnp.concatenate([xs, us], axis=1).reshape(-1)
+    dl = lams.reshape(-1)
+    Adz = _gemvA(d, dz)
+    dv = (rv + gamma * Adz) / mus
+    dy = _b_vec(d) - Adz
+    ok = jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dl))
+    return Variable(z=dz, l=dl, v=dv, y=dy), ok
+
+
+MPC_OPS_ASSOC = MPC_OPS._replace(
+    newton_step=_assoc_newton_step, newton_solve=_assoc_newton_solve)
+
+
+def _pick_mpc_ops(data: MpcQPData, riccati: str) -> ProblemOps:
+    if riccati == "scan":
+        return MPC_OPS
+    if riccati == "assoc":
+        return MPC_OPS_ASSOC
+    if riccati != "auto":
+        raise ValueError(
+            f"riccati must be 'auto', 'scan' or 'assoc', got {riccati!r}")
+    N = mpc_dims(data)[0]
+    thresh = (ASSOC_MIN_HORIZON_TPU if jax.default_backend() == "tpu"
+              else ASSOC_MIN_HORIZON)
+    return MPC_OPS_ASSOC if N >= thresh else MPC_OPS
+
+
+# ------------------------------------------------------------------
 # Functional entry points.
 # ------------------------------------------------------------------
 
-def solve_mpc_qp(data: MpcQPData, z0, l0, v0, options: Options = Options()):
-    """Jittable single-instance MPC solve. Returns (Variable, CoreOut)."""
-    return fbstab_solve(MPC_OPS, data, z0, l0, v0, options)
+def solve_mpc_qp(data: MpcQPData, z0, l0, v0, options: Options = Options(),
+                 riccati: str = "auto"):
+    """Jittable single-instance MPC solve. Returns (Variable, CoreOut).
+
+    riccati: 'auto' (parallel associative-scan Riccati for horizons
+    N >= ASSOC_MIN_HORIZON, sequential scan otherwise), 'scan', or
+    'assoc'. Both solve the same Newton system; iterate paths agree to
+    roundoff only."""
+    return fbstab_solve(_pick_mpc_ops(data, riccati), data, z0, l0, v0,
+                        options)
 
 
 def _fused_solve_eligible(data: MpcQPData, dtype):
@@ -627,7 +732,8 @@ def _fused_solve_eligible(data: MpcQPData, dtype):
 
 
 def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
-                       options: Options = Options()):
+                       options: Options = Options(),
+                       riccati: str = "scan"):
     """Batched MPC solve: leading batch axis on every data array and guess.
     The TPU 'DP' analog of running one solver per control loop
     (SURVEY.md section 2).
@@ -639,7 +745,20 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
         kernel per 128-instance tile;
      2. vmap of the XLA-orchestrated solver, whose Newton step is the
         fused Riccati kernel via custom_vmap (TPU) or the lax.scan path
-        (CPU / f64)."""
+        (CPU / f64).
+
+    riccati: 'scan' (default; eligible batches use the fused kernels),
+    or 'assoc' to force the parallel associative-scan Riccati Newton
+    step (vmapped) — for very long horizons that are not kernel
+    eligible."""
+    if riccati == "assoc":
+        if not isinstance(data, MpcQPDataT):
+            data = with_transposed(data)
+        return jax.vmap(
+            lambda d, z, l, v: fbstab_solve(
+                MPC_OPS_ASSOC, d, z, l, v, options),
+            in_axes=(_DATA_T_AXES, 0, 0, 0),
+        )(data, z0, l0, v0)
     mode = _fused_solve_eligible(data, z0.dtype)
     if mode is not None:
         from fbstab_tpu.ops.mpc_solve_pallas import fbstab_mpc_solve_fused

@@ -1,0 +1,228 @@
+"""Parallel-in-horizon (associative-scan) Riccati Newton-step solver.
+
+Solves the same sigma-regularized LQ saddle system as the sequential
+Riccati recursion (models/mpc_qp.py::_riccati_solve, reference:
+riccati_linear_solver.cc:77-344) in O(log N) depth instead of O(N):
+
+    [ Hbar  G' ] [dz]   [r1]          Hbar = blockdiag([Qh Sh'; Sh Rh])
+    [ -G  sigma*I ] [dl] = [rl]       (G dz)_0 = -x_0,
+                                      (G dz)_i = A x_{i-1} + B u_{i-1} - x_i
+
+which is the KKT system of the strictly convex problem
+
+    min  sum_i 1/2 (x_i,u_i)' H_i (x_i,u_i) - r1_i'(x_i,u_i)
+         + 1/(2 sigma) ||x_0 - rl_0||^2
+         + sum_{i>=1} 1/(2 sigma) ||x_i - A x_{i-1} - B u_{i-1} - rl_i||^2
+
+The TPU-first design (SURVEY.md section 2, parallelism item 4; the
+optional parallel-in-N variant, cf. arXiv:1407.6898 and the
+conditional-value-function composition of Sarkka & Garcia-Fernandez):
+
+1. Per stage, eliminate u_i in closed form -> a quadratic "span element"
+   F_i(x_i, x_{i+1}) = 1/2 a'P11 a + a'P12 b + 1/2 b'P22 b + p1'a + p2'b.
+   The terminal stage yields an element with zero b-blocks.
+2. A suffix `lax.associative_scan` combines adjacent spans by partially
+   minimizing over the shared boundary state (associative; every inverse
+   is of an SPD matrix K = P22_left + P11_right, guaranteed PD by the
+   sigma-prox terms). The suffix combine starting at i is the value
+   function V_i(x) = 1/2 x'J x + p'x.
+3. The optimal states satisfy x_{i+1} = Phi_i x_i + c_i; a prefix
+   associative scan of affine-map composition rolls out all states in
+   O(log N) depth, then u, lambda are recovered stage-batched.
+
+All heavy ops are (N, nx, nx)-batched matmuls/choleskys -> MXU-friendly;
+this path targets long horizons (large N) at small batch, where the
+sequential scan's O(N) dependency chain dominates latency. FLOP count is
+O(N log N) vs the scan's O(N), so for large batches the sequential scan
+(or the fused Pallas kernel) remains the throughput path.
+
+Unlike the sequential recursion this computes the SAME algebraic solution
+by a different operation order, so agreement with the scan path is to
+roundoff (validated by the KKT-identity test at 1e-9 in f64), not
+bitwise.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+from jax import lax
+
+
+class _SpanElement(NamedTuple):
+    """Quadratic form on the span's boundary states (a, b)."""
+
+    P11: jnp.ndarray   # (..., nx, nx)
+    P12: jnp.ndarray   # (..., nx, nx)
+    P22: jnp.ndarray   # (..., nx, nx)
+    p1: jnp.ndarray    # (..., nx)
+    p2: jnp.ndarray    # (..., nx)
+
+
+def _psolve(K, rhs):
+    """SPD solve via Cholesky, batched over leading dims.
+
+    rhs is (..., n, m) or (..., n). NaNs from a failed factorization
+    propagate to the output (the jit analog of the reference's LLT info
+    check, riccati_linear_solver.cc:131-136)."""
+    C = jnp.linalg.cholesky(K)
+    vec = rhs.ndim == K.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    y = jsl.solve_triangular(C, rhs, lower=True)
+    out = jsl.solve_triangular(jnp.swapaxes(C, -1, -2), y, lower=False)
+    return out[..., 0] if vec else out
+
+
+def _combine(left: _SpanElement, right: _SpanElement) -> _SpanElement:
+    """Eliminate the shared boundary state between two adjacent spans.
+
+    K = P22_L + P11_R is SPD: P22 of every real-stage span is the SPD
+    matrix inv(sigma*I + B Rhat^{-1} B') (by Woodbury) and P11 of every
+    span is PD because the total objective is strictly convex."""
+    K = left.P22 + right.P11
+    T = jnp.swapaxes
+    # Solve K once against the stacked right-hand sides.
+    KiP12LT = _psolve(K, T(left.P12, -1, -2))       # K^{-1} P12_L'
+    KiP12R = _psolve(K, right.P12)                  # K^{-1} P12_R
+    w = left.p2 + right.p1
+    Kiw = _psolve(K, w)
+    P11 = left.P11 - left.P12 @ KiP12LT
+    P12 = -left.P12 @ KiP12R
+    P22 = right.P22 - T(right.P12, -1, -2) @ KiP12R
+    p1 = left.p1 - jnp.einsum("...ij,...j->...i", left.P12, Kiw)
+    p2 = right.p2 - jnp.einsum("...ji,...j->...i", right.P12, Kiw)
+    # Re-symmetrize the diagonal blocks (roundoff control over deep
+    # combine trees).
+    P11 = 0.5 * (P11 + T(P11, -1, -2))
+    P22 = 0.5 * (P22 + T(P22, -1, -2))
+    return _SpanElement(P11, P12, P22, p1, p2)
+
+
+def _stage_elements(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma):
+    """Build the N stage elements + the terminal element.
+
+    Stage i (0..N-1): F_i(a, b) = min_u of the stage cost plus the
+    sigma-relaxed dynamics penalty linking a = x_i to b = x_{i+1};
+    u-Hessian K_u = Rhat + B'B/sigma. Terminal: V_N(a) = min_u of the
+    stage-N cost alone (zero b-blocks)."""
+    N1, nx = Qh.shape[0], Qh.shape[-1]
+    N = N1 - 1
+    dtype = Qh.dtype
+    sb = 1.0 / sigma
+    T = jnp.swapaxes
+
+    Qs, Rs, Ss = Qh[:-1], Rh[:-1], Sh[:-1]
+    ct = rl[1:]                                     # (N, nx) = rl_{i+1}
+    Ku = Rs + sb * T(B, -1, -2) @ B
+    D = Ss + sb * T(B, -1, -2) @ A                  # (N, nu, nx)
+    g = sb * jnp.einsum("nji,nj->ni", B, ct) - r1u[:-1]
+
+    KiD = _psolve(Ku, D)                            # K_u^{-1} D
+    KiBT = _psolve(Ku, T(B, -1, -2))                # K_u^{-1} B'
+    Kig = _psolve(Ku, g)
+
+    P11 = Qs + sb * T(A, -1, -2) @ A - T(D, -1, -2) @ KiD
+    P12 = -sb * T(A, -1, -2) + sb * T(D, -1, -2) @ KiBT
+    Ix = jnp.broadcast_to(jnp.eye(nx, dtype=dtype), (N, nx, nx))
+    P22 = sb * Ix - (sb * sb) * (B @ KiBT)
+    p1 = (-r1x[:-1] + sb * jnp.einsum("nji,nj->ni", A, ct)
+          - jnp.einsum("nji,nj->ni", D, Kig))
+    p2 = -sb * ct + sb * jnp.einsum("nij,nj->ni", B, Kig)
+
+    # Terminal element: eliminate u_N from the stage-N cost.
+    KN = Rh[N]
+    KiS = _psolve(KN, Sh[N])
+    Kir = _psolve(KN, r1u[N])
+    P11N = Qh[N] - T(Sh[N], -1, -2) @ KiS
+    p1N = -r1x[N] + jnp.einsum("ji,j->i", Sh[N], Kir)
+    z_m = jnp.zeros((nx, nx), dtype)
+    z_v = jnp.zeros((nx,), dtype)
+
+    elems = _SpanElement(
+        P11=jnp.concatenate([P11, P11N[None]], axis=0),
+        P12=jnp.concatenate([P12, z_m[None]], axis=0),
+        P22=jnp.concatenate([P22, z_m[None]], axis=0),
+        p1=jnp.concatenate([p1, p1N[None]], axis=0),
+        p2=jnp.concatenate([p2, z_v[None]], axis=0),
+    )
+    aux = (Ku, D, g, Kig, KiS, Kir)
+    return elems, aux
+
+
+def assoc_kkt_solve(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma):
+    """Parallel solve of the sigma-regularized LQ saddle system.
+
+    Inputs are stage-stacked: Qh/Rh/Sh (N+1, nx|nu, ...) barrier-augmented
+    Hessian blocks, A/B (N, ...), r1x/r1u (N+1, ...) the (already
+    negated/eliminated) stationarity residual, rl (N+1, nx) the equality
+    residual. Returns (xs, us, lams) each (N+1, ...).
+
+    The combine tree's matrices carry condition numbers up to ~1/sigma^2,
+    so every matmul must run at full f32 precision on TPU (the default
+    bf16 passes destroy the solve) — same measured fix as the KKT linear
+    algebra in models/ (see docs/ARCHITECTURE.md).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _assoc_kkt_solve(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma)
+
+
+def _assoc_kkt_solve(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma):
+    N1, nx = Qh.shape[0], Qh.shape[-1]
+    N = N1 - 1
+    dtype = Qh.dtype
+    sb = 1.0 / sigma
+    T = jnp.swapaxes
+
+    elems, aux = _stage_elements(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma)
+    Ku, D, g, Kig, KiS, Kir = aux
+
+    # Suffix combine: S_i = e_i o e_{i+1} o ... o e_N. With reverse=True
+    # lax.associative_scan applies the operator as op(later, earlier), so
+    # swap operands to keep left = smaller stage index.
+    suff = lax.associative_scan(
+        lambda a, b: _combine(b, a), elems, reverse=True)
+    J = suff.P11                                    # (N+1, nx, nx): V_i
+    p = suff.p1                                     # (N+1, nx)
+
+    # x_0 from the initial prox term 1/(2 sigma)||x - rl_0||^2 + V_0.
+    I = jnp.eye(nx, dtype=dtype)
+    x0 = _psolve(sb * I + J[0], sb * rl[0] - p[0])
+
+    # Forward rollout x_{i+1} = Phi_i x_i + c_i with
+    # (P22_i + J_{i+1}) b = -(P12_i' x_i + p2_i + p_{i+1}).
+    Kf = elems.P22[:N] + J[1:]
+    PhiRhs = -T(elems.P12[:N], -1, -2)
+    Phi = _psolve(Kf, PhiRhs)
+    c = _psolve(Kf, -(elems.p2[:N] + p[1:]))
+
+    # Prefix affine composition M_i = Phi_i o ... o Phi_0 (apply earliest
+    # first): op(earlier, later) = later o earlier.
+    def aff_op(f, s):
+        Pf, cf = f
+        Ps, cs = s
+        return (Ps @ Pf, jnp.einsum("...ij,...j->...i", Ps, cf) + cs)
+
+    Ms, cs = lax.associative_scan(aff_op, (Phi, c))
+    x_tail = jnp.einsum("nij,j->ni", Ms, x0) + cs   # x_1..x_N
+    xs = jnp.concatenate([x0[None], x_tail], axis=0)
+
+    # Stage-batched recovery of u_i (i < N):
+    # u = -K_u^{-1} [ D x_i - B' x_{i+1}/sigma + g ].
+    rhs_u = (jnp.einsum("nij,nj->ni", D, xs[:-1])
+             - sb * jnp.einsum("nji,nj->ni", B, xs[1:]) + g)
+    us_head = -_psolve(Ku, rhs_u)
+    # u_N = K_N^{-1} (r1u_N - S_N x_N).
+    uN = Kir - jnp.einsum("ij,j->i", KiS, xs[N])
+    us = jnp.concatenate([us_head, uN[None]], axis=0)
+
+    # lambda_0 = (rl_0 - x_0)/sigma;
+    # lambda_{i+1} = (rl_{i+1} + A x_i + B u_i - x_{i+1})/sigma.
+    lam0 = sb * (rl[0] - xs[0])
+    lam_tail = sb * (rl[1:] + jnp.einsum("nij,nj->ni", A, xs[:-1])
+                     + jnp.einsum("nij,nj->ni", B, us[:-1]) - xs[1:])
+    lams = jnp.concatenate([lam0[None], lam_tail], axis=0)
+    return xs, us, lams
