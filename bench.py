@@ -270,6 +270,59 @@ def run_copoly(B=None):
     }))
 
 
+def run_longhorizon(N=None):
+    """python bench.py longhorizon: single-instance latency at a long
+    horizon through the parallel (associative-scan) Riccati vs the
+    sequential scan. The MPC analog of sequence-length scaling (SURVEY.md
+    section 5): the scan path's O(N) dependency chain dominates its
+    latency, the parallel path is O(log N) depth."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.mpc_qp import mpc_dims, solve_mpc_qp
+    from fbstab_tpu.models.ocp_fixtures import double_integrator
+    from fbstab_tpu.options import Options
+
+    platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    if N is None:
+        N = 120 if on_cpu else 480
+    dtype = jnp.float64 if on_cpu else jnp.float32
+    opts = Options(abs_tol=1e-8) if on_cpu else Options.single_precision()
+    data, _ = double_integrator(N, dtype=dtype)
+    _, nx, nu, nc = mpc_dims(data)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    z0 = jnp.zeros(nz, dtype)
+    l0 = jnp.zeros(nl, dtype)
+    v0 = jnp.zeros(nv, dtype)
+
+    lat = {}
+    for mode in ("scan", "assoc"):
+        fn = jax.jit(lambda d, z, l, v, m=mode: solve_mpc_qp(
+            d, z, l, v, opts, riccati=m))
+        x, core = fn(data, z0, l0, v0)
+        np.asarray(core.residual)
+        assert int(core.eflag) == 0, f"{mode}: eflag={int(core.eflag)}"
+        times = []
+        for i in range(1, 6):
+            fresh = data._replace(x0=data.x0 + 1e-6 * i)
+            t0 = time.perf_counter()
+            x, core = fn(fresh, z0, l0, v0)
+            np.asarray(core.residual)
+            times.append(time.perf_counter() - t0)
+        lat[mode] = min(times)
+    speedup = lat["scan"] / lat["assoc"]
+    print(f"bench[longhorizon]: platform={platform} N={N} "
+          f"scan={lat['scan'] * 1e3:.1f}ms assoc={lat['assoc'] * 1e3:.1f}ms",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "longhorizon_assoc_speedup",
+        "value": round(speedup, 2),
+        "unit": f"x vs sequential scan (N={N})",
+        "vs_baseline": round(speedup, 2),
+    }))
+
+
 def run_sharded(B=None):
     """python bench.py sharded: single-chip proxy for multi-chip scaling.
 
@@ -514,5 +567,7 @@ if __name__ == "__main__":
         run_sharded()
     elif len(sys.argv) > 1 and sys.argv[1] == "copoly":
         run_copoly()
+    elif len(sys.argv) > 1 and sys.argv[1] == "longhorizon":
+        run_longhorizon()
     else:
         main()
