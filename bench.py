@@ -220,9 +220,14 @@ def run_refine(B=None, steps=3):
 def run_copoly(B=None):
     """python bench.py copoly: the CopolymerizationReactor benchmark class
     (nx=18, nu=5, nc=10, N=80 — the reference's largest OCP,
-    ocp_generator.cc:73-169) through the lowmem fused kernel. Baseline:
-    the 10k QPs/s north-star scaled by problem size (nz ratio
-    341/1863 -> 1830 QPs/s)."""
+    ocp_generator.cc:73-169) through the parallel (associative-scan)
+    Riccati batch path — measured fastest for this class on TPU
+    (268 QPs/s vs 184 through the lowmem Newton-step kernel at B=512;
+    the full-solve kernel cannot compile at nx=18, see
+    docs/ARCHITECTURE.md). Baseline: the 10k QPs/s north-star scaled by
+    problem size (nz ratio 341/1863 -> 1830 QPs/s; scaling by Riccati
+    FLOPs — ~19x per instance — would put the equivalent target at
+    ~525 QPs/s)."""
     import jax
     import jax.numpy as jnp
 
@@ -232,7 +237,9 @@ def run_copoly(B=None):
 
     platform = jax.devices()[0].platform
     if B is None:
-        B = 16 if platform == "cpu" else 1024
+        # B=512 is the measured best operating point on TPU: larger
+        # batches pay a worse lockstep max-iteration tail on this class.
+        B = 16 if platform == "cpu" else 512
     dtype = jnp.float32
     opts = Options.single_precision()
     data, _ = ocp_fixtures.copolymerization_reactor(80, dtype=dtype)
@@ -247,7 +254,9 @@ def run_copoly(B=None):
     l0 = jnp.zeros((B, nl), dtype)
     v0 = jnp.zeros((B, nv), dtype)
 
-    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    riccati = "assoc" if platform == "tpu" else "scan"
+    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(
+        d, z, l, v, opts, riccati=riccati))
     x, core = fn(batch, z0, l0, v0)
     np.asarray(core.residual)
     success = float(np.mean(np.asarray(core.eflag) == 0))

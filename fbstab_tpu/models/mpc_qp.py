@@ -653,14 +653,12 @@ def _assoc_newton_solve(d: MpcQPData, fact: RiccatiFactorization,
     return Variable(z=dz, l=dl, v=dv, y=dy)
 
 
-def _assoc_newton_step(d, x: Variable, xbar: Variable, sigma, alpha,
-                       rz, rl, rv):
-    """ProblemOps.newton_step via the parallel Riccati: weights + stage
-    Hessians + the associative-scan solve, no sequential recursion."""
+def _assoc_step_impl(d, v, y, vbar, rz, rl, rv, sigma, alpha):
+    """Single-instance parallel-Riccati Newton step (batch-first math)."""
     from fbstab_tpu.ops.assoc_riccati import assoc_kkt_solve
 
     N, nx, nu, nc = mpc_dims(d)
-    gamma, mus, Gam = pfb_weights(x.y, x.v, xbar.v, sigma, alpha)
+    gamma, mus, Gam = pfb_weights(y, v, vbar, sigma, alpha)
     Qh, Rh, Sh = _stage_hessians(d, Gam, sigma)
 
     r1 = rz - _gemvAT(d, rv / mus)
@@ -675,6 +673,96 @@ def _assoc_newton_step(d, x: Variable, xbar: Variable, sigma, alpha,
     dv = (rv + gamma * Adz) / mus
     dy = _b_vec(d) - Adz
     ok = jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dl))
+    return dz, dl, dv, dy, ok
+
+
+def _assoc_step_batched(d, v, y, vbar, rz, rl, rv, sigma, alpha):
+    """Batched parallel-Riccati Newton step, batch-LAST layout.
+
+    Inside the custom_vmap rule the MpcQPDataT T-leaves arrive
+    canonicalized batch-first; moveaxis(0, -1) undoes that exactly (a
+    no-op for XLA — same trick as riccati_newton_step_batched), so the
+    whole combine tree runs on (N, n, m, B) arrays with instances
+    filling the lane dimension instead of a padded-out nx."""
+    from fbstab_tpu.ops.assoc_riccati import assoc_kkt_solve_bl
+
+    N, nx, nu, nc = mpc_dims(d)
+    N1, ns = N + 1, nx + nu
+    Bq = v.shape[0]
+    dtype = v.dtype
+    hp = functools.partial(jnp.einsum, precision="highest")
+    tm = lambda a: jnp.moveaxis(a, 0, -1)
+    tv = lambda a, k: jnp.moveaxis(a.reshape(Bq, N1, k), 0, -1)
+
+    ET, LT = tm(d.ET), tm(d.LT)
+    gamma, mus, Gam = pfb_weights(y, v, vbar, sigma, alpha)
+    GamT = tv(Gam, nc)
+    GE = GamT[:, :, None, :] * ET
+    GL = GamT[:, :, None, :] * LT
+    Ix = jnp.eye(nx, dtype=dtype)[None, :, :, None]
+    Iu = jnp.eye(nu, dtype=dtype)[None, :, :, None]
+    QhT = tm(d.QT) + sigma * Ix + hp("scib,scjb->sijb", ET, GE)
+    RhT = tm(d.RT) + sigma * Iu + hp("scib,scjb->sijb", LT, GL)
+    ShT = tm(d.ST) + hp("scib,scjb->sijb", LT, GE)
+
+    w = tv(rv / mus, nc)
+    rzT = jnp.moveaxis(rz.reshape(Bq, N1, ns), 0, -1)   # (N1, ns, B)
+    r1xT = rzT[:, :nx] - hp("scib,scb->sib", ET, w)
+    r1uT = rzT[:, nx:] - hp("scib,scb->sib", LT, w)
+    rlT = tv(rl, nx)
+
+    xs, us, lams = assoc_kkt_solve_bl(
+        QhT, RhT, ShT, tm(d.AT), tm(d.BT), r1xT, r1uT, rlT, sigma)
+
+    dz = jnp.moveaxis(jnp.concatenate([xs, us], axis=1),
+                      -1, 0).reshape(Bq, N1 * ns)
+    dl = jnp.moveaxis(lams, -1, 0).reshape(Bq, N1 * nx)
+    AdzT = hp("scib,sib->scb", ET, xs) + hp("scib,sib->scb", LT, us)
+    Adz = jnp.moveaxis(AdzT, -1, 0).reshape(Bq, N1 * nc)
+    dv = (rv + gamma * Adz) / mus
+    dy = -d.d.reshape(Bq, N1 * nc) - Adz
+    ok = (jnp.all(jnp.isfinite(dz), axis=1)
+          & jnp.all(jnp.isfinite(dl), axis=1))
+    return dz, dl, dv, dy, ok
+
+
+@functools.lru_cache(maxsize=None)
+def _make_assoc_step(alpha: float):
+    from jax.custom_batching import custom_vmap
+
+    step = custom_vmap(
+        lambda d, v, y, vbar, rz, rl, rv, sigma: _assoc_step_impl(
+            d, v, y, vbar, rz, rl, rv, sigma, alpha))
+
+    @step.def_vmap
+    def _rule(axis_size, in_batched, d, v, y, vbar, rz, rl, rv, sigma):
+        data_b = all(jax.tree.leaves(in_batched[0]))
+        vecs_b = all(in_batched[1:7])
+        sigma_b = in_batched[7]
+        if (data_b and vecs_b and not sigma_b and v.ndim == 2
+                and isinstance(d, MpcQPDataT)):
+            out = _assoc_step_batched(
+                d, v, y, vbar, rz, rl, rv, sigma, alpha)
+            return out, (True,) * 5
+        axes = tuple(jax.tree.map(lambda b: 0 if b else None, f)
+                     for f in in_batched)
+        out = jax.vmap(
+            functools.partial(_assoc_step_impl, alpha=alpha),
+            in_axes=axes)(d, v, y, vbar, rz, rl, rv, sigma)
+        return out, (True,) * 5
+
+    return step
+
+
+def _assoc_newton_step(d, x: Variable, xbar: Variable, sigma, alpha,
+                       rz, rl, rv):
+    """ProblemOps.newton_step via the parallel Riccati: weights + stage
+    Hessians + the associative-scan solve, no sequential recursion.
+    Batched solves dispatch to the batch-last implementation via
+    custom_vmap."""
+    step = _make_assoc_step(float(alpha))
+    dz, dl, dv, dy, ok = step(d, x.v, x.y, xbar.v, rz, rl, rv,
+                              jnp.asarray(sigma, x.v.dtype))
     return Variable(z=dz, l=dl, v=dv, y=dy), ok
 
 

@@ -51,6 +51,12 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax import lax
 
+from fbstab_tpu.ops.smallchol import (
+    UNROLL_LIMIT,
+    cho_solve_small,
+    cholesky_small,
+)
+
 
 class _SpanElement(NamedTuple):
     """Quadratic form on the span's boundary states (a, b)."""
@@ -67,14 +73,44 @@ def _psolve(K, rhs):
 
     rhs is (..., n, m) or (..., n). NaNs from a failed factorization
     propagate to the output (the jit analog of the reference's LLT info
-    check, riccati_linear_solver.cc:131-136)."""
-    C = jnp.linalg.cholesky(K)
+    check, riccati_linear_solver.cc:131-136).
+
+    Small matrices use the unrolled batched recurrences from
+    ops/smallchol.py: XLA's blocked TPU cholesky expansion runs its
+    internal matmuls at default (bf16-pass) precision regardless of the
+    surrounding precision context, which silently destroys the
+    ~1/sigma^2-conditioned combine tree in f32 (measured: copoly batches
+    flip from 100% to 0% convergence exactly at the batch size where XLA
+    switches to the blocked algorithm). The unrolled form is exact f32
+    and faster at these sizes anyway.
+
+    The solve is Jacobi-equilibrated: K's diagonal mixes O(1/sigma)
+    prox-penalty entries with O(1) curvature entries, and near-active
+    constraints push kappa(K) to ~1/sigma^2 — past eps at the f64
+    default sigma0 = 1e-8. Symmetric diagonal scaling solves the SAME
+    system (bitwise-different, algebraically identical) with pivots of
+    uniform magnitude, which keeps the Cholesky from going negative on
+    stiff iterates (measured: fixes spurious LINEAR_SOLVER_FAILED on
+    mixed-activity instances that the sequential recursion handles)."""
     vec = rhs.ndim == K.ndim - 1
+    s = lax.rsqrt(jnp.abs(_diag(K)) + jnp.finfo(K.dtype).tiny)
+    Keq = K * s[..., :, None] * s[..., None, :]
+    beq = rhs * s if vec else rhs * s[..., :, None]
+    n = K.shape[-1]
+    if n <= UNROLL_LIMIT:
+        out = cho_solve_small(cholesky_small(Keq), beq)
+        return out * s if vec else out * s[..., :, None]
+    C = jnp.linalg.cholesky(Keq)
     if vec:
-        rhs = rhs[..., None]
-    y = jsl.solve_triangular(C, rhs, lower=True)
+        beq = beq[..., None]
+    y = jsl.solve_triangular(C, beq, lower=True)
     out = jsl.solve_triangular(jnp.swapaxes(C, -1, -2), y, lower=False)
-    return out[..., 0] if vec else out
+    out = out[..., 0] if vec else out
+    return out * s if vec else out * s[..., :, None]
+
+
+def _diag(K):
+    return jnp.diagonal(K, axis1=-2, axis2=-1)
 
 
 def _combine(left: _SpanElement, right: _SpanElement) -> _SpanElement:
@@ -224,5 +260,171 @@ def _assoc_kkt_solve(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma):
     lam0 = sb * (rl[0] - xs[0])
     lam_tail = sb * (rl[1:] + jnp.einsum("nij,nj->ni", A, xs[:-1])
                      + jnp.einsum("nij,nj->ni", B, us[:-1]) - xs[1:])
+    lams = jnp.concatenate([lam0[None], lam_tail], axis=0)
+    return xs, us, lams
+
+
+# ------------------------------------------------------------------
+# Batch-last implementation.
+#
+# For batched solves the (B, N, nx, nx) batch-first layout wastes the
+# VPU: XLA tiles the trailing (nx, nx) pair onto (sublane, lane) and
+# pads nx -> 128 lanes (~14% utilization at nx=18). Keeping the batch in
+# the trailing (lane) axis — the same layout the Pallas kernels use via
+# MpcQPDataT — fills the lanes with instances instead. Same math as
+# above; stage-stacked (N, n, m, B) arrays throughout.
+# ------------------------------------------------------------------
+
+def _hp_einsum(spec, *args):
+    return jnp.einsum(spec, *args, precision="highest")
+
+
+def _mm_bl(X, Y):
+    """(S, i, j, B) @ (S, j, k, B) -> (S, i, k, B)."""
+    return _hp_einsum("sijb,sjkb->sikb", X, Y)
+
+
+def _mv_bl(X, y):
+    """(S, i, j, B) @ (S, j, B) -> (S, i, B)."""
+    return _hp_einsum("sijb,sjb->sib", X, y)
+
+
+def _T_bl(X):
+    return jnp.swapaxes(X, 1, 2)
+
+
+def _psolve_bl(K, rhs):
+    """SPD solve, batch-last: K (S, n, n, B), rhs (S, n, B) or
+    (S, n, m, B). Jacobi-equilibrated like _psolve; the unrolled batched
+    recurrences are the riccati_pallas in-kernel helpers, vmapped over
+    the stage axis.
+
+    Measured null result (don't retry): wrapping this factor-and-solve
+    in a Pallas kernel (stage-blocked (8, n, n, 128) windows, VMEM
+    resident) gave exactly XLA-fallback performance on the copoly
+    workload at B=512 — the batched assoc Newton step is ~26 ms and not
+    dominated by these solves, so the kernel only added ~7 Mosaic
+    compiles. XLA already fuses the unrolled recurrences acceptably at
+    these shapes."""
+    from fbstab_tpu.ops.riccati_pallas import (
+        _chol as _chol_k,
+        _tri_lower as _tri_lower_k,
+        _tri_upperT as _tri_upperT_k,
+    )
+    # diag of (S, n, n, B) -> (S, B, n) -> (S, n, B)
+    d = jnp.moveaxis(jnp.diagonal(K, axis1=1, axis2=2), -1, 1)
+    s = lax.rsqrt(jnp.abs(d) + jnp.finfo(K.dtype).tiny)
+    Keq = K * s[:, :, None, :] * s[:, None, :, :]
+    smat = s if rhs.ndim == 3 else s[:, :, None, :]
+    beq = rhs * smat
+    L = jax.vmap(_chol_k)(Keq)
+    t = jax.vmap(_tri_lower_k)(L, beq)
+    return jax.vmap(_tri_upperT_k)(L, t) * smat
+
+
+def _combine_bl(left: _SpanElement, right: _SpanElement) -> _SpanElement:
+    """_combine with (S, n, n, B) leaves."""
+    K = left.P22 + right.P11
+    KiP12LT = _psolve_bl(K, _T_bl(left.P12))
+    KiP12R = _psolve_bl(K, right.P12)
+    w = left.p2 + right.p1
+    Kiw = _psolve_bl(K, w)
+    P11 = left.P11 - _mm_bl(left.P12, KiP12LT)
+    P12 = -_mm_bl(left.P12, KiP12R)
+    P22 = right.P22 - _mm_bl(_T_bl(right.P12), KiP12R)
+    p1 = left.p1 - _mv_bl(left.P12, Kiw)
+    p2 = right.p2 - _mv_bl(_T_bl(right.P12), Kiw)
+    P11 = 0.5 * (P11 + _T_bl(P11))
+    P22 = 0.5 * (P22 + _T_bl(P22))
+    return _SpanElement(P11, P12, P22, p1, p2)
+
+
+def assoc_kkt_solve_bl(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma):
+    """Batch-last parallel solve: every array carries a trailing batch
+    axis ((N+1, n, m, B) stage matrices, (N+1, n, B) vectors). Returns
+    (xs, us, lams) each (N+1, n, B). Same algebra as assoc_kkt_solve."""
+    with jax.default_matmul_precision("highest"):
+        return _assoc_kkt_solve_bl(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma)
+
+
+def _assoc_kkt_solve_bl(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma):
+    N1, nx = Qh.shape[0], Qh.shape[1]
+    Bb = Qh.shape[-1]
+    N = N1 - 1
+    dtype = Qh.dtype
+    sb = 1.0 / sigma
+
+    # ---- stage elements ----
+    Qs, Rs, Ss = Qh[:-1], Rh[:-1], Sh[:-1]
+    ct = rl[1:]
+    BT = _T_bl(B)
+    AT = _T_bl(A)
+    Ku = Rs + sb * _mm_bl(BT, B)
+    D = Ss + sb * _mm_bl(BT, A)
+    g = sb * _mv_bl(BT, ct) - r1u[:-1]
+
+    KiD = _psolve_bl(Ku, D)
+    KiBT = _psolve_bl(Ku, BT)
+    Kig = _psolve_bl(Ku, g)
+
+    DT = _T_bl(D)
+    P11 = Qs + sb * _mm_bl(AT, A) - _mm_bl(DT, KiD)
+    P12 = -sb * AT + sb * _mm_bl(DT, KiBT)
+    Ix = jnp.eye(nx, dtype=dtype)[None, :, :, None]
+    P22 = sb * jnp.broadcast_to(Ix, (N, nx, nx, Bb)) - (
+        sb * sb) * _mm_bl(B, KiBT)
+    p1 = -r1x[:-1] + sb * _mv_bl(AT, ct) - _mv_bl(DT, Kig)
+    p2 = -sb * ct + sb * _mv_bl(B, Kig)
+
+    # Terminal element (stage N, single-stage -> add a dummy stage axis
+    # for the batched helpers).
+    one = lambda a: a[None]
+    KiS = _psolve_bl(one(Rh[N]), one(Sh[N]))[0]
+    Kir = _psolve_bl(one(Rh[N]), one(r1u[N]))[0]
+    P11N = Qh[N] - _hp_einsum("jib,jkb->ikb", Sh[N], KiS)
+    p1N = -r1x[N] + _hp_einsum("jib,jb->ib", Sh[N], Kir)
+    z_m = jnp.zeros((nx, nx, Bb), dtype)
+    z_v = jnp.zeros((nx, Bb), dtype)
+
+    elems = _SpanElement(
+        P11=jnp.concatenate([P11, P11N[None]], axis=0),
+        P12=jnp.concatenate([P12, z_m[None]], axis=0),
+        P22=jnp.concatenate([P22, z_m[None]], axis=0),
+        p1=jnp.concatenate([p1, p1N[None]], axis=0),
+        p2=jnp.concatenate([p2, z_v[None]], axis=0),
+    )
+
+    # ---- suffix value functions ----
+    suff = lax.associative_scan(
+        lambda a, b: _combine_bl(b, a), elems, reverse=True)
+    J, p = suff.P11, suff.p1
+
+    # ---- x0 and forward rollout ----
+    Ix0 = jnp.broadcast_to(jnp.eye(nx, dtype=dtype)[:, :, None],
+                           (nx, nx, Bb))
+    x0 = _psolve_bl(one(sb * Ix0 + J[0]), one(sb * rl[0] - p[0]))[0]
+
+    Kf = elems.P22[:N] + J[1:]
+    Phi = _psolve_bl(Kf, -_T_bl(elems.P12[:N]))
+    c = _psolve_bl(Kf, -(elems.p2[:N] + p[1:]))
+
+    def aff_op(f, s):
+        Pf, cf = f
+        Ps, cs = s
+        return (_mm_bl(Ps, Pf), _mv_bl(Ps, cf) + cs)
+
+    Ms, cs = lax.associative_scan(aff_op, (Phi, c))
+    x_tail = _hp_einsum("sijb,jb->sib", Ms, x0) + cs
+    xs = jnp.concatenate([x0[None], x_tail], axis=0)
+
+    # ---- recovery ----
+    rhs_u = _mv_bl(D, xs[:-1]) - sb * _mv_bl(BT, xs[1:]) + g
+    us_head = -_psolve_bl(Ku, rhs_u)
+    uN = Kir - _hp_einsum("ijb,jb->ib", KiS, xs[N])
+    us = jnp.concatenate([us_head, uN[None]], axis=0)
+
+    lam0 = sb * (rl[0] - xs[0])
+    lam_tail = sb * (rl[1:] + _mv_bl(A, xs[:-1])
+                     + _mv_bl(B, us[:-1]) - xs[1:])
     lams = jnp.concatenate([lam0[None], lam_tail], axis=0)
     return xs, us, lams
