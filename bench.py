@@ -220,14 +220,12 @@ def run_refine(B=None, steps=3):
 def run_copoly(B=None):
     """python bench.py copoly: the CopolymerizationReactor benchmark class
     (nx=18, nu=5, nc=10, N=80 — the reference's largest OCP,
-    ocp_generator.cc:73-169) through the parallel (associative-scan)
-    Riccati batch path — measured fastest for this class on TPU
-    (268 QPs/s vs 184 through the lowmem Newton-step kernel at B=512;
-    the full-solve kernel cannot compile at nx=18, see
-    docs/ARCHITECTURE.md). Baseline: the 10k QPs/s north-star scaled by
-    problem size (nz ratio 341/1863 -> 1830 QPs/s; scaling by Riccati
-    FLOPs — ~19x per instance — would put the equivalent target at
-    ~525 QPs/s)."""
+    ocp_generator.cc:73-169) through the lowmem Newton-step Pallas
+    kernel inside the XLA-orchestrated solver (the full-solve kernel
+    cannot compile at nx=18, see docs/ARCHITECTURE.md). Measured
+    3.8k QPs/s at B=512 — 2.1x the size-scaled target. Baseline: the
+    10k QPs/s north-star scaled by problem size (nz ratio
+    341/1863 -> 1830 QPs/s)."""
     import jax
     import jax.numpy as jnp
 
@@ -254,9 +252,7 @@ def run_copoly(B=None):
     l0 = jnp.zeros((B, nl), dtype)
     v0 = jnp.zeros((B, nv), dtype)
 
-    riccati = "assoc" if platform == "tpu" else "scan"
-    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(
-        d, z, l, v, opts, riccati=riccati))
+    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
     x, core = fn(batch, z0, l0, v0)
     np.asarray(core.residual)
     success = float(np.mean(np.asarray(core.eflag) == 0))

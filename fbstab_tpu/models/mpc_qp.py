@@ -564,11 +564,12 @@ def _make_fused_step(alpha: float):
     def _rule(axis_size, in_batched, d, v, y, vbar, rz, rl, rv, sigma):
         data_b = all(jax.tree.leaves(in_batched[0]))
         vecs_b = all(in_batched[1:7])
-        sigma_b = in_batched[7]
+        # sigma may arrive batched (B,) — the kernel takes a per-lane
+        # (1, B) sigma row, so that is fine.
         # mpc_dims reads trailing axes, so batched leaves are fine as-is.
         N, nx, nu, nc = mpc_dims(d)
         mode = _kernel_eligible(v.dtype, N, nx, nu, nc)
-        if (data_b and vecs_b and not sigma_b and v.ndim == 2
+        if (data_b and vecs_b and v.ndim == 2
                 and mode is not None):
             from fbstab_tpu.ops.riccati_pallas import (
                 riccati_newton_step_batched)
@@ -694,15 +695,21 @@ def _assoc_step_batched(d, v, y, vbar, rz, rl, rv, sigma, alpha):
     tm = lambda a: jnp.moveaxis(a, 0, -1)
     tv = lambda a, k: jnp.moveaxis(a.reshape(Bq, N1, k), 0, -1)
 
+    # sigma is scalar or per-instance (B,) — it is part of the solver
+    # carry, so batched solves always pass (B,).
+    sig = jnp.asarray(sigma, dtype)
+    sig_col = sig[:, None] if sig.ndim else sig      # vs (B, nv) arrays
+    sig4 = sig[None, None, None, :] if sig.ndim else sig
+
     ET, LT = tm(d.ET), tm(d.LT)
-    gamma, mus, Gam = pfb_weights(y, v, vbar, sigma, alpha)
+    gamma, mus, Gam = pfb_weights(y, v, vbar, sig_col, alpha)
     GamT = tv(Gam, nc)
     GE = GamT[:, :, None, :] * ET
     GL = GamT[:, :, None, :] * LT
     Ix = jnp.eye(nx, dtype=dtype)[None, :, :, None]
     Iu = jnp.eye(nu, dtype=dtype)[None, :, :, None]
-    QhT = tm(d.QT) + sigma * Ix + hp("scib,scjb->sijb", ET, GE)
-    RhT = tm(d.RT) + sigma * Iu + hp("scib,scjb->sijb", LT, GL)
+    QhT = tm(d.QT) + sig4 * Ix + hp("scib,scjb->sijb", ET, GE)
+    RhT = tm(d.RT) + sig4 * Iu + hp("scib,scjb->sijb", LT, GL)
     ShT = tm(d.ST) + hp("scib,scjb->sijb", LT, GE)
 
     w = tv(rv / mus, nc)
@@ -712,7 +719,7 @@ def _assoc_step_batched(d, v, y, vbar, rz, rl, rv, sigma, alpha):
     rlT = tv(rl, nx)
 
     xs, us, lams = assoc_kkt_solve_bl(
-        QhT, RhT, ShT, tm(d.AT), tm(d.BT), r1xT, r1uT, rlT, sigma)
+        QhT, RhT, ShT, tm(d.AT), tm(d.BT), r1xT, r1uT, rlT, sig)
 
     dz = jnp.moveaxis(jnp.concatenate([xs, us], axis=1),
                       -1, 0).reshape(Bq, N1 * ns)
@@ -738,8 +745,10 @@ def _make_assoc_step(alpha: float):
     def _rule(axis_size, in_batched, d, v, y, vbar, rz, rl, rv, sigma):
         data_b = all(jax.tree.leaves(in_batched[0]))
         vecs_b = all(in_batched[1:7])
-        sigma_b = in_batched[7]
-        if (data_b and vecs_b and not sigma_b and v.ndim == 2
+        # sigma is part of the per-instance solver carry, so it arrives
+        # batched (B,) in real solves — the batch-last implementation
+        # broadcasts it per lane.
+        if (data_b and vecs_b and v.ndim == 2
                 and isinstance(d, MpcQPDataT)):
             out = _assoc_step_batched(
                 d, v, y, vbar, rz, rl, rv, sigma, alpha)

@@ -44,6 +44,8 @@ bitwise.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -322,8 +324,115 @@ def _psolve_bl(K, rhs):
     return jax.vmap(_tri_upperT_k)(L, t) * smat
 
 
+# Combine-kernel dispatch: "auto" fuses the whole span combination into
+# one Pallas kernel per scan level on TPU f32 (profiled: the XLA
+# lowering of a combine level is dominated by the pad/copy/small-fusion
+# chains around the unrolled solves — ~90 ms per Newton step at copoly
+# B=512, ~85% of solve time); "off" forces XLA; "interpret" runs the
+# kernel in interpreter mode (CPU testing).
+PALLAS_MODE = os.environ.get("FBSTAB_PALLAS", "auto")
+_COMBINE_TILE_B = 128
+
+
+def _combine_kernel_eligible(x):
+    n = x.shape[1]
+    if x.shape[0] == 0 or x.shape[-1] == 0:
+        return False   # empty odd-level slices inside associative_scan
+    if PALLAS_MODE == "off" or n > 32:
+        return False
+    if PALLAS_MODE == "interpret":
+        return True
+    return (jax.default_backend() == "tpu" and x.dtype == jnp.float32
+            and x.shape[-1] >= _COMBINE_TILE_B)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_combine_kernel(n: int):
+    from fbstab_tpu.ops.riccati_pallas import (
+        _chol as _chol_k,
+        _mm as _mm_k,
+        _mv as _mv_k,
+        _T as _T_k,
+        _tri_lower as _tri_lower_k,
+        _tri_upperT as _tri_upperT_k,
+    )
+
+    def psolve(K, rhs):
+        d = jnp.stack([K[i, i] for i in range(n)], axis=0)   # (n, TB)
+        s = lax.rsqrt(jnp.abs(d) + jnp.finfo(K.dtype).tiny)
+        Keq = K * s[:, None, :] * s[None, :, :]
+        rscale = s[:, None, :] if rhs.ndim == 3 else s
+        L = _chol_k(Keq)
+        t = _tri_lower_k(L, rhs * rscale)
+        return _tri_upperT_k(L, t) * rscale
+
+    def kernel(l11, l12, l22, lp1, lp2, r11, r12, r22, rp1, rp2,
+               o11, o12, o22, op1, op2):
+        K = l22[...] + r11[...]
+        L12, R12 = l12[...], r12[...]
+        KiP12LT = psolve(K, _T_k(L12))
+        KiP12R = psolve(K, R12)
+        Kiw = psolve(K, lp2[...] + rp1[...])
+        P11 = l11[...] - _mm_k(L12, KiP12LT)
+        P22 = r22[...] - _mm_k(_T_k(R12), KiP12R)
+        o11[...] = 0.5 * (P11 + _T_k(P11))
+        o12[...] = -_mm_k(L12, KiP12R)
+        o22[...] = 0.5 * (P22 + _T_k(P22))
+        op1[...] = lp1[...] - _mv_k(L12, Kiw)
+        op2[...] = rp2[...] - _mv_k(_T_k(R12), Kiw)
+
+    return kernel
+
+
+def _combine_bl_pallas(left: _SpanElement, right: _SpanElement
+                       ) -> _SpanElement:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, n = left.P11.shape[0], left.P11.shape[1]
+    Bb = left.P11.shape[-1]
+    TB = min(_COMBINE_TILE_B, Bb)
+    Bp = ((Bb + TB - 1) // TB) * TB
+    if Bp != Bb:
+        def padb(a):
+            return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, Bp - Bb)],
+                           constant_values=1.0)
+        left = _SpanElement(*(padb(a) for a in left))
+        right = _SpanElement(*(padb(a) for a in right))
+    T = Bp // TB
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (None,) + shape + (TB,),
+            (lambda m_, t, _nd=nd: (m_,) + (0,) * _nd + (t,)),
+            memory_space=pltpu.VMEM)
+
+    mat, vec = spec((n, n)), spec((n,))
+    ms = jax.ShapeDtypeStruct((M, n, n, Bp), left.P11.dtype)
+    vs = jax.ShapeDtypeStruct((M, n, Bp), left.P11.dtype)
+    outs = pl.pallas_call(
+        _make_combine_kernel(n),
+        grid=(M, T),
+        in_specs=[mat, mat, mat, vec, vec, mat, mat, mat, vec, vec],
+        out_specs=(mat, mat, mat, vec, vec),
+        out_shape=(ms, ms, ms, vs, vs),
+        interpret=(PALLAS_MODE == "interpret"),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*left, *right)
+    out = _SpanElement(*outs)
+    if Bp != Bb:
+        out = _SpanElement(*(a[..., :Bb] for a in out))
+    return out
+
+
 def _combine_bl(left: _SpanElement, right: _SpanElement) -> _SpanElement:
-    """_combine with (S, n, n, B) leaves."""
+    """_combine with (S, n, n, B) leaves. On TPU f32 the whole
+    combination (3 equilibrated SPD solves + 6 matmuls) is one fused
+    Pallas kernel per scan level."""
+    if _combine_kernel_eligible(left.P11):
+        return _combine_bl_pallas(left, right)
     K = left.P22 + right.P11
     KiP12LT = _psolve_bl(K, _T_bl(left.P12))
     KiP12R = _psolve_bl(K, right.P12)
@@ -352,29 +461,38 @@ def _assoc_kkt_solve_bl(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma):
     Bb = Qh.shape[-1]
     N = N1 - 1
     dtype = Qh.dtype
-    sb = 1.0 / sigma
+    # sigma is a scalar or a per-instance (B,) vector (it is part of the
+    # per-instance solver carry, so batched solves always pass (B,)).
+    sig = jnp.asarray(sigma, dtype)
+    if sig.ndim == 0:
+        sb4 = sb3 = sb2 = 1.0 / sig
+    else:
+        sbv = 1.0 / sig
+        sb4 = sbv[None, None, None, :]
+        sb3 = sbv[None, None, :]
+        sb2 = sbv[None, :]
 
     # ---- stage elements ----
     Qs, Rs, Ss = Qh[:-1], Rh[:-1], Sh[:-1]
     ct = rl[1:]
     BT = _T_bl(B)
     AT = _T_bl(A)
-    Ku = Rs + sb * _mm_bl(BT, B)
-    D = Ss + sb * _mm_bl(BT, A)
-    g = sb * _mv_bl(BT, ct) - r1u[:-1]
+    Ku = Rs + sb4 * _mm_bl(BT, B)
+    D = Ss + sb4 * _mm_bl(BT, A)
+    g = sb3 * _mv_bl(BT, ct) - r1u[:-1]
 
     KiD = _psolve_bl(Ku, D)
     KiBT = _psolve_bl(Ku, BT)
     Kig = _psolve_bl(Ku, g)
 
     DT = _T_bl(D)
-    P11 = Qs + sb * _mm_bl(AT, A) - _mm_bl(DT, KiD)
-    P12 = -sb * AT + sb * _mm_bl(DT, KiBT)
+    P11 = Qs + sb4 * _mm_bl(AT, A) - _mm_bl(DT, KiD)
+    P12 = -sb4 * AT + sb4 * _mm_bl(DT, KiBT)
     Ix = jnp.eye(nx, dtype=dtype)[None, :, :, None]
-    P22 = sb * jnp.broadcast_to(Ix, (N, nx, nx, Bb)) - (
-        sb * sb) * _mm_bl(B, KiBT)
-    p1 = -r1x[:-1] + sb * _mv_bl(AT, ct) - _mv_bl(DT, Kig)
-    p2 = -sb * ct + sb * _mv_bl(B, Kig)
+    P22 = sb4 * jnp.broadcast_to(Ix, (N, nx, nx, Bb)) - (
+        sb4 * sb4) * _mm_bl(B, KiBT)
+    p1 = -r1x[:-1] + sb3 * _mv_bl(AT, ct) - _mv_bl(DT, Kig)
+    p2 = -sb3 * ct + sb3 * _mv_bl(B, Kig)
 
     # Terminal element (stage N, single-stage -> add a dummy stage axis
     # for the batched helpers).
@@ -402,7 +520,8 @@ def _assoc_kkt_solve_bl(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma):
     # ---- x0 and forward rollout ----
     Ix0 = jnp.broadcast_to(jnp.eye(nx, dtype=dtype)[:, :, None],
                            (nx, nx, Bb))
-    x0 = _psolve_bl(one(sb * Ix0 + J[0]), one(sb * rl[0] - p[0]))[0]
+    x0 = _psolve_bl(one(sb3 * Ix0 + J[0]),
+                    one(sb2 * rl[0] - p[0]))[0]
 
     Kf = elems.P22[:N] + J[1:]
     Phi = _psolve_bl(Kf, -_T_bl(elems.P12[:N]))
@@ -418,13 +537,13 @@ def _assoc_kkt_solve_bl(Qh, Rh, Sh, A, B, r1x, r1u, rl, sigma):
     xs = jnp.concatenate([x0[None], x_tail], axis=0)
 
     # ---- recovery ----
-    rhs_u = _mv_bl(D, xs[:-1]) - sb * _mv_bl(BT, xs[1:]) + g
+    rhs_u = _mv_bl(D, xs[:-1]) - sb3 * _mv_bl(BT, xs[1:]) + g
     us_head = -_psolve_bl(Ku, rhs_u)
     uN = Kir - _hp_einsum("ijb,jb->ib", KiS, xs[N])
     us = jnp.concatenate([us_head, uN[None]], axis=0)
 
-    lam0 = sb * (rl[0] - xs[0])
-    lam_tail = sb * (rl[1:] + _mv_bl(A, xs[:-1])
-                     + _mv_bl(B, us[:-1]) - xs[1:])
+    lam0 = sb2 * (rl[0] - xs[0])
+    lam_tail = sb3 * (rl[1:] + _mv_bl(A, xs[:-1])
+                      + _mv_bl(B, us[:-1]) - xs[1:])
     lams = jnp.concatenate([lam0[None], lam_tail], axis=0)
     return xs, us, lams

@@ -200,6 +200,15 @@ def riccati_factor_solve(
     f32 = Q_ref.dtype
     B_lanes = Q_ref.shape[-1]
 
+    # sigma is a scalar (full-solve kernel: part of the in-kernel carry
+    # semantics) or a per-lane (1, B) row (standalone Newton-step kernel:
+    # sigma is per-instance solver-carry state). Vector contexts
+    # broadcast either form directly; matrix (n, m, B) contexts need the
+    # extra leading axis.
+    sig_m = sigma if jnp.ndim(sigma) == 0 else sigma[None]
+    sqsig_m = (jnp.sqrt(sigma) if jnp.ndim(sigma) == 0
+               else jnp.sqrt(sigma)[None])
+
     Ix = jnp.broadcast_to(
         jnp.eye(nx, dtype=f32)[..., None], (nx, nx, B_lanes))
     Iu = jnp.broadcast_to(
@@ -232,8 +241,8 @@ def riccati_factor_solve(
         Li = L_ref[i]
         GE = Gi[:, None, :] * Ei                      # (nc, nx, B)
         GL = Gi[:, None, :] * Li                      # (nc, nu, B)
-        Qh = Q_ref[i] + sigma * Ix + _mm(_T(Ei), GE)
-        Rh = R_ref[i] + sigma * Iu + _mm(_T(Li), GL)
+        Qh = Q_ref[i] + sig_m * Ix + _mm(_T(Ei), GE)
+        Rh = R_ref[i] + sig_m * Iu + _mm(_T(Li), GL)
         Sh = S_ref[i] + _mm(_T(Li), GE)
         return Qh, Rh, Sh
 
@@ -248,7 +257,7 @@ def riccati_factor_solve(
         return M, SM, SG
 
     # ---- Forward matrix recursion (cc:125-188). ----
-    L0 = jnp.sqrt(sigma) * Ix
+    L0 = sqsig_m * Ix
 
     def stage_AP(i, M_i, SM_i, SG_i):
         """AM = A inv(M)', P = (AM SM' - B) inv(SG)' at stage i from the
@@ -262,7 +271,7 @@ def riccati_factor_solve(
         M, SM, SG = stage_factor(Lf, i)
         AM = _solve_right_LT(A_ref[i], M)
         P = _solve_right_LT(_mm(AM, _T(SM)) - B_ref[i], SG)
-        L_next = _chol(sigma * Ix + _mm(P, _T(P)) + _mm(AM, _T(AM)))
+        L_next = _chol(sig_m * Ix + _mm(P, _T(P)) + _mm(AM, _T(AM)))
         Lc_ref[i] = Lf
         if store_factors:
             Mc_ref[i] = M
@@ -367,7 +376,7 @@ def _newton_step_kernel(
         (Lc_ref, Mc_ref, SMc_ref, SGc_ref, AMc_ref, Pc_ref, th_ref,
          h_ref) = scratch
     riccati_factor_solve(
-        sigma_ref[0, 0],
+        sigma_ref[...],
         Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
         v_ref, y_ref, vbar_ref,
         rzx_ref, rzu_ref, rl_ref, rv_ref,
@@ -446,7 +455,11 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
     rlb = prep(rl, (N1, nx))
     rvb = prep(rv, (N1, nc))
 
-    sig = jnp.asarray(sigma, dtype).reshape(1, 1)
+    # sigma is scalar or per-instance (B,) (part of the solver carry in
+    # batched solves); either way the kernel gets a per-lane (1, B) row.
+    sig_a = jnp.asarray(sigma, dtype).reshape(-1)
+    sig_b = jnp.broadcast_to(sig_a, (B,))
+    sig = prep(sig_b[:, None], (1,))                  # (1, Bp)
 
     grid = (Bp // tile_b,)
 
@@ -458,7 +471,7 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        spec((1,)),
         spec((N1, nx, nx)), spec((N1, nu, nu)), spec((N1, nu, nx)),
         spec((N, nx, nx)), spec((N, nx, nu)),
         spec((N1, nc, nx)), spec((N1, nc, nu)),
@@ -478,8 +491,7 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
     # loads are microseconds against milliseconds of compute per tile, so
     # pipelining buys nothing here anyway.
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    map_in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                    + [vspec() for _ in range(14)])
+    map_in_specs = [vspec() for _ in range(15)]
     map_out_specs = (vspec(), vspec(), vspec())
     map_out_shape = (
         jax.ShapeDtypeStruct((N1, nx, tile_b), dtype),
@@ -510,6 +522,10 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
 
     ins = (sig, Qb, Rb, Sb, Ab, Bb, Eb, Lb, vb, yb, vbarb, rzxb, rzub,
            rlb, rvb)
+    # Self-declared scoped-VMEM budget: the process-global
+    # LIBTPU_INIT_ARGS flag only applies when the fused-solver modules
+    # were imported before the first TPU compile.
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     if lowmem:
         call = pl.pallas_call(
             kernel,
@@ -518,6 +534,7 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
             out_shape=map_out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
+            compiler_params=cparams,
         )
         T = Bp // tile_b
 
@@ -527,9 +544,8 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
                 (T, tile_b) + a.shape[:-1])
             return jnp.moveaxis(moved, 1, -1)
 
-        tiled = tuple(a if a is sig else tiles(a) for a in ins)
-        outs = lax.map(
-            lambda t: call(sig, *t), tiled[1:])
+        tiled = tuple(tiles(a) for a in ins)
+        outs = lax.map(lambda t: call(*t), tiled)
         dzx_t, dzu_t, dl_t = (
             jnp.moveaxis(jnp.moveaxis(o, -1, 1).reshape(
                 (Bp,) + o.shape[1:-1]), 0, -1)
@@ -543,6 +559,7 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
             out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
+            compiler_params=cparams,
         )(*ins)
 
     dzx = _from_bl(dzx_t)[:B]
@@ -552,11 +569,12 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
 
     # Dual recovery outside the kernel (riccati_linear_solver.cc:329-342):
     # these are wide batched einsums, cheap in XLA and not worth VMEM.
-    ys = y + jnp.asarray(sigma, dtype) * (v - vbar)
+    sig_col = sig_b[:, None]                          # (B, 1)
+    ys = y + sig_col * (v - vbar)
     from fbstab_tpu.ops.pfb import pfb_gradient
     g, m0 = pfb_gradient(ys, v, alpha)
     gamma = g
-    mus = m0 + jnp.asarray(sigma, dtype) * g
+    mus = m0 + sig_col * g
     dzs = dz.reshape(B, N1, ns)
     Adz = (jnp.einsum("bscj,bsj->bsc", data.E, dzs[:, :, :nx])
            + jnp.einsum("bscj,bsj->bsc", data.L, dzs[:, :, nx:])

@@ -78,3 +78,37 @@ def test_dispatch_selects_lowmem_for_copolymerization():
     # state rows. Bench shape fits; copolymerization must not.
     assert mpc._state_rows(30, 8, 3, 6) <= mpc._FULL_SOLVE_ROWS_CAP
     assert mpc._state_rows(80, 18, 5, 10) > mpc._FULL_SOLVE_ROWS_CAP
+
+
+def test_newton_step_kernel_engages_in_batched_solve(monkeypatch):
+    """The Newton-step kernel must engage inside a real batched solve —
+    where sigma is part of the per-instance carry and so arrives BATCHED
+    at the custom_vmap rule (round-2 fix: the rule used to require
+    unbatched sigma and silently fell back to the scan path, a 27x perf
+    bug on the copolymerization class). Forces the batch dispatcher off
+    the full-solve kernel so the vmapped path with the Newton-step
+    custom_vmap is exercised, in interpret mode, and demands agreement
+    with the pure-XLA path."""
+    batch, z0, l0, v0 = _copoly_batch(B=3, N=4)
+    opts = Options(abs_tol=1e-8)
+
+    monkeypatch.setattr(mpc, "PALLAS_MODE", "off")
+    jax.clear_caches()
+    mpc._make_fused_step.cache_clear()
+    x_ref, core_ref = mpc.solve_mpc_qp_batch(batch, z0, l0, v0, opts)
+
+    monkeypatch.setattr(mpc, "PALLAS_MODE", "interpret")
+    monkeypatch.setattr(mpc, "_fused_solve_eligible",
+                        lambda data, dtype: None)
+    jax.clear_caches()
+    mpc._make_fused_step.cache_clear()
+    x_k, core_k = mpc.solve_mpc_qp_batch(batch, z0, l0, v0, opts)
+    jax.clear_caches()
+    mpc._make_fused_step.cache_clear()
+
+    assert np.all(np.asarray(core_ref.eflag) == int(ExitFlag.SUCCESS))
+    np.testing.assert_array_equal(core_k.eflag, core_ref.eflag)
+    np.testing.assert_allclose(np.asarray(x_k.z), np.asarray(x_ref.z),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(core_k.residual),
+                               np.asarray(core_ref.residual), atol=1e-7)
