@@ -828,6 +828,47 @@ def _fused_solve_eligible(data: MpcQPData, dtype):
     return None
 
 
+# The subproblem kernel's compiled footprint is the working-set model
+# PLUS Mosaic register-spill slots. The kernel computes its residual /
+# norm / linesearch math per-stage (staged mode, see _build_ctx in
+# ops/mpc_solve_pallas.py) precisely to bound those slots: the
+# full-horizon formulation measured 115 MB of spill at nx=18/N=80 —
+# past the 128 MB physical VMEM of v5e (and shrinking the lane tile
+# does not help: VMEM pads lanes to 128). The factor covers the staged
+# kernel's remaining spill (the per-stage Riccati matrices).
+_SUBFUSED_SPILL_FACTOR = 1.4
+_SUBFUSED_BUDGET_MB = 120.0
+
+
+def _subfused_eligible(data: MpcQPData, dtype):
+    """Gate for the fused-subproblem tier (ops/mpc_solve_pallas.py::
+    mpc_subproblem_fused driven by models/mpc_subfused.py): kernel-mode
+    VMEM fit but carried state beyond the full-solve kernel's cap.
+    Returns (mode, tile_b) with mode 'std' | 'lowmem', or None."""
+    if PALLAS_MODE == "off":
+        return None
+    N, nx, nu, nc = mpc_dims(data)
+    if _state_rows(N, nx, nu, nc) <= _FULL_SOLVE_ROWS_CAP:
+        return None                 # the full-solve kernel takes it
+    mode = _kernel_mode(N, nx, nu, nc)
+    if mode is None:
+        return None
+    tile_b = None
+    for cand in (128, 64, 32):
+        mb = _fused_vmem_mb(N, nx, nu, nc, tile_b=cand,
+                            lowmem=(mode == "lowmem"))
+        if mb * _SUBFUSED_SPILL_FACTOR <= _SUBFUSED_BUDGET_MB:
+            tile_b = cand
+            break
+    if tile_b is None:
+        return None
+    if PALLAS_MODE == "interpret":
+        return mode, tile_b
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        return mode, tile_b
+    return None
+
+
 def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
                        options: Options = Options(),
                        riccati: str = "scan"):
@@ -837,10 +878,13 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
 
     Dispatch, fastest first:
      1. the fully fused Pallas solver kernel (TPU + f32, VMEM-fitting
-        stage dims — lowmem recompute mode for large nx such as the
-        CopolymerizationReactor class) — the whole algorithm in one
-        kernel per 128-instance tile;
-     2. vmap of the XLA-orchestrated solver, whose Newton step is the
+        stage dims) — the whole algorithm in one kernel per
+        128-instance tile;
+     2. the fused-subproblem tier (large stage dims such as the
+        CopolymerizationReactor class, whose carried state spills the
+        full-solve kernel): one kernel launch per proximal subproblem,
+        XLA outer loop;
+     3. vmap of the XLA-orchestrated solver, whose Newton step is the
         fused Riccati kernel via custom_vmap (TPU) or the lax.scan path
         (CPU / f64).
 
@@ -865,6 +909,14 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
             base, z0, l0, v0, options,
             interpret=(PALLAS_MODE == "interpret"),
             lowmem=(mode == "lowmem"))
+    sub = _subfused_eligible(data, z0.dtype)
+    if sub is not None:
+        mode, tile_b = sub
+        from fbstab_tpu.models.mpc_subfused import fbstab_mpc_solve_subfused
+        return fbstab_mpc_solve_subfused(
+            data, z0, l0, v0, options,
+            interpret=(PALLAS_MODE == "interpret"),
+            tile_b=tile_b, lowmem=(mode == "lowmem"))
     if not isinstance(data, MpcQPDataT):
         data = with_transposed(data)
     return jax.vmap(

@@ -1,16 +1,33 @@
-"""Fully fused FBstab-MPC solver kernel.
+"""Fused FBstab-MPC solver kernels.
 
-One Pallas kernel runs the ENTIRE FBstab algorithm — outer proximal loop,
-inner semismooth Newton loop, nonmonotone linesearch, feasibility checks,
-exit bookkeeping — for a tile of TILE_B QP instances held in the lane
-dimension, start to finish, with zero HBM round-trips between iterations.
+Two fusion levels share one kernel context (`_build_ctx`: stage operators,
+residuals, Newton step, masking helpers — identical arithmetic):
 
-Why: measured on v5e, arithmetic inside a compiled kernel costs ~12 ns per
-vector op while every XLA HLO in a `lax.while_loop` body costs ~10-100 us
-of dispatch/memory overhead; with ~500 HLOs per Newton iteration the
-XLA-orchestrated solver spends >99% of its time on op overhead. Fusing the
-whole algorithm turns each Newton iteration into ~10^4 VPU instructions on
-(sublane, lane) tiles.
+1. `fbstab_mpc_solve_fused` — one Pallas kernel runs the ENTIRE FBstab
+   algorithm (outer proximal loop, inner semismooth Newton loop,
+   nonmonotone linesearch, feasibility checks, exit bookkeeping) for a
+   tile of TILE_B QP instances held in the lane dimension, start to
+   finish, with zero HBM round-trips between iterations.
+2. `mpc_subproblem_fused` — one kernel launch runs ONE proximal
+   subproblem (the whole inner Newton loop incl. linesearch) per tile;
+   the outer proximal loop stays in XLA
+   (models/mpc_subfused.py::fbstab_mpc_solve_subfused). This is the
+   large-stage-dimension tier: the full-solve kernel's outer-loop state
+   makes Mosaic spill every live range beyond ~1024 carried state rows
+   per lane (measured 232 MB of scoped-VMEM spill slots at nx=18/N=80),
+   while the subproblem kernel's live set is bounded by one inner
+   iteration. Measured on the CopolymerizationReactor class
+   (nx=18, nu=5, N=80, B=512): the XLA-orchestrated loop around the
+   standalone Newton-step kernel spends ~12 of 17.4 ms per lockstep
+   Newton iteration on while-body HLO dispatch; fusing the subproblem
+   removes that entirely.
+
+Why fusion: measured on v5e, arithmetic inside a compiled kernel costs
+~12 ns per vector op while every XLA HLO in a `lax.while_loop` body costs
+~10-100 us of dispatch/memory overhead; with ~500 HLOs per Newton
+iteration the XLA-orchestrated solver spends >99% of its time on op
+overhead. Fusing turns each Newton iteration into ~10^4 VPU instructions
+on (sublane, lane) tiles.
 
 Semantics: a lane-for-lane transcription of core/algorithm.py (which in
 turn mirrors the reference fbstab_algorithm-impl.h:113-304) in
@@ -34,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import os
+import types
 
 # The fused kernel's working set exceeds the default 16 MiB scoped-VMEM
 # budget (~9 MB per 128-lane tile at N=30/nx=8; ~72 MB in lowmem mode at
@@ -56,7 +74,12 @@ from fbstab_tpu.core.algorithm import NONMONOTONE_DEPTH, CoreOut
 from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.options import Options
 from fbstab_tpu.ops.pfb import pfb
-from fbstab_tpu.ops.riccati_pallas import riccati_factor_solve
+from fbstab_tpu.ops.riccati_pallas import (
+    _T as _mT,
+    _mv as _mvv,
+    _pfb_weights,
+    riccati_factor_solve,
+)
 from fbstab_tpu.solver_out import ExitFlag
 
 TILE_B = 128
@@ -91,13 +114,572 @@ def _stage_matvec_T(M, w, n, m):
     return acc.reshape(N1 * m, B)
 
 
-def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
-    """Builds the kernel body closure for static dims + options. lowmem
-    selects the recompute-factors Riccati mode (large stage dims)."""
+# Per-state-row counts of the 5-tuple state (zx, zu, l, v, y).
+def _state_ns(nx, nu, nc):
+    return (nx, nu, nx, nc, nc)
+
+
+def _build_ctx(N, nx, nu, nc, opts: Options, lowmem: bool,
+               data_refs, step_scr, red_s, staged: bool = False):
+    """Shared kernel context closed over the data refs and Newton-step
+    scratch. Returns a namespace of closures used by both the full-solve
+    kernel and the subproblem kernel so they run identical arithmetic.
+
+    staged=True selects the per-stage fori_loop variants (st_*) of the
+    residual / norm / linesearch math and skips materializing the
+    full-horizon forcing vectors. At large stage dims every full-horizon
+    intermediate is a ~1 MB value that cannot be register-resident, and
+    Mosaic gives every spilled live range its own scoped-VMEM slot — the
+    straight-line subproblem body has ~100 such values (measured 115 MB
+    of spill slots at nx=18/N=80, past the 128 MB physical VMEM of v5e;
+    shrinking the lane tile does NOT help, VMEM pads lanes to 128). The
+    staged variants keep only a few (n, B) stage slices live per
+    fori iteration, so the spill slots are bounded and reused."""
     Np1 = N + 1
-    ns = nx + nu
     sigma = float(opts.sigma0)
     alpha = float(opts.alpha)
+
+    (q_ref, r_ref, c_ref, x0_ref, d_ref,
+     Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref) = data_refs
+    if lowmem:
+        (rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
+         dzx_s, dzu_s, dl_s, dv_s, dy_s, Lc, th_s, h_s) = step_scr
+        Mc = SMc = SGc = None
+    else:
+        (rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
+         dzx_s, dzu_s, dl_s, dv_s, dy_s, Lc, Mc, SMc, SGc,
+         th_s, h_s) = step_scr
+
+    f32 = Q_ref.dtype
+    Bl = Q_ref.shape[-1]
+
+    # ---------- stage-structured operators (2-D state) ----------
+    # The stage-matrix REFS go straight into the matvec helpers, which
+    # slice one column at a time: loading a whole matrix as a value
+    # (Q_ref[...]) keeps a multi-MB register-resident array live per
+    # operator and blows the register allocator into scoped-VMEM spill
+    # slots at large stage dims.
+    def gemvH(zx, zu):
+        yx = (_stage_matvec(Q_ref, zx, nx, nx)
+              + _stage_matvec_T(S_ref, zu, nu, nx))
+        yu = (_stage_matvec(S_ref, zx, nu, nx)
+              + _stage_matvec(R_ref, zu, nu, nu))
+        return yx, yu
+
+    def gemvA(zx, zu):
+        return (_stage_matvec(E_ref, zx, nc, nx)
+                + _stage_matvec(L_ref, zu, nc, nu))
+
+    def gemvG(zx, zu):
+        zxs = zx.reshape(Np1, nx, Bl)
+        zus = zu.reshape(Np1, nu, Bl)
+        tail = (_stage_matvec(A_ref, zxs[:-1].reshape(N * nx, Bl),
+                              nx, nx).reshape(N, nx, Bl)
+                + _stage_matvec(B_ref, zus[:-1].reshape(N * nu, Bl),
+                                nx, nu).reshape(N, nx, Bl)
+                - zxs[1:])
+        return jnp.concatenate([-zxs[:1], tail],
+                               axis=0).reshape(Np1 * nx, Bl)
+
+    def gemvGT(l):
+        ls = l.reshape(Np1, nx, Bl)
+        lp = ls[1:].reshape(N * nx, Bl)
+        atv = _stage_matvec_T(A_ref, lp, nx, nx).reshape(N, nx, Bl)
+        btv = _stage_matvec_T(B_ref, lp, nx, nu).reshape(N, nu, Bl)
+        zx = jnp.zeros((1, nx, Bl), f32)
+        zu = jnp.zeros((1, nu, Bl), f32)
+        yx = -ls + jnp.concatenate([atv, zx], axis=0)
+        yu = jnp.concatenate([btv, zu], axis=0)
+        return yx.reshape(Np1 * nx, Bl), yu.reshape(Np1 * nu, Bl)
+
+    def gemvAT(v):
+        yx = _stage_matvec_T(E_ref, v, nc, nx)
+        yu = _stage_matvec_T(L_ref, v, nc, nu)
+        return yx, yu
+
+    if staged:
+        # Full-horizon forcing values would be live across the whole
+        # kernel; the staged paths read the data refs per stage instead.
+        fx = fu = hh = bb = None
+    else:
+        fx = q_ref[...].reshape(Np1 * nx, Bl)
+        fu = r_ref[...].reshape(Np1 * nu, Bl)
+        hh = -jnp.concatenate(
+            [x0_ref[...][None], c_ref[...]], axis=0).reshape(Np1 * nx, Bl)
+        bb = -d_ref[...].reshape(Np1 * nc, Bl)
+
+    def mater(x):
+        """Round-trips a (1, B) reduction result through VMEM to
+        force a canonical vector layout: sublane-reduction outputs
+        carry replicated layouts that Mosaic cannot re-broadcast when
+        they meet while-loop carries (Not implemented: Sublane
+        broadcast)."""
+        red_s[...] = x
+        return red_s[...]
+
+    def ssum(a):
+        return jnp.sum(a * a, axis=0, keepdims=True)       # (1, B)
+
+    def imax(a):
+        return mater(jnp.max(jnp.abs(a), axis=0, keepdims=True))
+
+    def inner_residual(zx, zu, l, v, y, bzx, bzu, bl, bv):
+        hx, hu = gemvH(zx, zu)
+        gx, gu = gemvGT(l)
+        ax, au = gemvAT(v)
+        rzx = fx + hx + gx + ax + sigma * (zx - bzx)
+        rzu = fu + hu + gu + au + sigma * (zu - bzu)
+        rl = hh - gemvG(zx, zu) + sigma * (l - bl)
+        rv = pfb(y + sigma * (v - bv), v, alpha)
+        return rzx, rzu, rl, rv
+
+    def pnr(zx, zu, l, v, y):
+        hx, hu = gemvH(zx, zu)
+        gx, gu = gemvGT(l)
+        ax, au = gemvAT(v)
+        rzx = fx + hx + gx + ax
+        rzu = fu + hu + gu + au
+        rl = hh - gemvG(zx, zu)
+        rv = (alpha * jnp.minimum(y, v)
+              + (1.0 - alpha) * jnp.maximum(0.0, y)
+              * jnp.maximum(0.0, v))
+        return rzx, rzu, rl, rv
+
+    def rnorm(r4):
+        rzx, rzu, rl, rv = r4
+        return mater(
+            jnp.sqrt(ssum(rzx) + ssum(rzu) + ssum(rl) + ssum(rv)))
+
+    def sel(m, a, b):
+        """Per-instance select: m (1, B) bool; a/b (1, B) or
+        (rows, B). Row-broadcast selects expand the mask explicitly
+        with an add-broadcast (Mosaic supports sublane broadcast for
+        arithmetic but not for select_n)."""
+        if a.shape[0] == m.shape[0]:
+            return jnp.where(m, a, b)
+        mf = jnp.zeros(a.shape, a.dtype if a.dtype != jnp.int32
+                       else jnp.float32)
+        mf = mf + m.astype(mf.dtype)
+        return jnp.where(mf > 0.5, a, b)
+
+    def blend(m, a, b):
+        """Select-free per-instance (1, B) select: b + m*(a - b).
+        Mosaic fails to lower select_n on (1, B) operands coming out
+        of reductions (replicated layouts), while arithmetic
+        broadcasts are fine. NOT NaN-masking: a NaN in either operand
+        leaks through; every call site either has both operands
+        finite or only contaminates lanes that already exited with
+        LINEAR_SOLVER_FAILED (whose outputs are taken from the
+        pre-failure iterate)."""
+        mf = m.astype(a.dtype) if a.dtype != jnp.int32 else \
+            m.astype(jnp.int32)
+        return b + mf * (a - b)
+
+    X = tuple  # state = (zx, zu, l, v, y), all 2-D (rows, B)
+
+    def sel_x(m, a, b):
+        return X(sel(m, ai, bi) for ai, bi in zip(a, b))
+
+    STATE_NS = _state_ns(nx, nu, nc)
+
+    def rd(ref, n):
+        return ref[...].reshape(Np1 * n, Bl)
+
+    def state(refs):
+        """Reads a 5-ref state tuple (zx, zu, l, v, y) as 2-D values."""
+        return X(rd(r, n) for r, n in zip(refs, STATE_NS))
+
+    def dstep():
+        return X((rd(dzx_s, nx), rd(dzu_s, nu), rd(dl_s, nx),
+                  rd(dv_s, nc), rd(dy_s, nc)))
+
+    def wr_state(refs, vals):
+        for r, v_, n in zip(refs, vals, STATE_NS):
+            r[...] = v_.reshape(Np1, n, Bl)
+
+    def newton_step(zx, zu, l, v, y, bv, rzx, rzu, rl, rv):
+        """Writes -r into scratch, runs the Riccati factor/solve,
+        leaves the step (dzx..dy) in the d-refs, returns ok."""
+        rzx_s[...] = (-rzx).reshape(Np1, nx, Bl)
+        rzu_s[...] = (-rzu).reshape(Np1, nu, Bl)
+        rl_s[...] = (-rl).reshape(Np1, nx, Bl)
+        rv_s[...] = (-rv).reshape(Np1, nc, Bl)
+        xv_s[...] = v.reshape(Np1, nc, Bl)
+        xy_s[...] = y.reshape(Np1, nc, Bl)
+        vb_s[...] = bv.reshape(Np1, nc, Bl)
+        riccati_factor_solve(
+            jnp.asarray(sigma, f32),
+            Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
+            xv_s, xy_s, vb_s, rzx_s, rzu_s, rl_s, rv_s,
+            dzx_s, dzu_s, dl_s,
+            Lc, Mc, SMc, SGc, None, None, th_s, h_s,
+            N=N, nx=nx, nu=nu, nc=nc, alpha=alpha, store_AP=False,
+            store_factors=not lowmem)
+        dzx = rd(dzx_s, nx)
+        dzu = rd(dzu_s, nu)
+        dl = rd(dl_s, nx)
+        # Dual recovery (riccati_linear_solver.cc:329-342).
+        ys = y + sigma * (v - bv)
+        rr = jnp.sqrt(ys * ys + v * v)
+        deg = rr < 1e-13
+        rr = jnp.where(deg, 1.0, rr)
+        ga = alpha * (1.0 - ys / rr)
+        gb = alpha * (1.0 - v / rr)
+        inter = (ys > 0) & (v > 0)
+        ga = jnp.where(inter, ga + (1.0 - alpha) * v, ga)
+        gb = jnp.where(inter, gb + (1.0 - alpha) * ys, gb)
+        dgn = alpha * (1.0 - 1.0 / jnp.sqrt(jnp.asarray(2.0, f32)))
+        ga = jnp.where(deg, dgn, ga)
+        gb = jnp.where(deg, dgn, gb)
+        mus = gb + sigma * ga
+        Adz = gemvA(dzx, dzu)
+        dv_s[...] = ((-rv + ga * Adz) / mus).reshape(Np1, nc, Bl)
+        dy_s[...] = (bb - Adz).reshape(Np1, nc, Bl)
+        nan_ct = mater(jnp.sum(jnp.isnan(dzx).astype(f32), axis=0,
+                               keepdims=True)
+                       + jnp.sum(jnp.isnan(dzu).astype(f32), axis=0,
+                                 keepdims=True)
+                       + jnp.sum(jnp.isnan(dl).astype(f32), axis=0,
+                                 keepdims=True))
+        ok = nan_ct < 0.5
+        return ok
+
+    # ---------- staged (per-stage fori_loop) variants ----------
+    # Same recurrences as the full-horizon closures above, computed one
+    # stage at a time against the refs so only (n, B) slices are live.
+    # Summation ORDER differs (per-stage partial sums instead of one
+    # full-horizon reduction): values agree to roundoff.
+
+    def _rd_refs(refs):
+        return lambda s: tuple(r[s] for r in refs)
+
+    def _rd_trial(I, t):
+        """State view at xi + t*dx with the margin rule
+        y <- y + t*(dy - b) (full_variable.cc:55-65); b = -d."""
+        def rd(s):
+            return (I[0][s] + t * dzx_s[s],
+                    I[1][s] + t * dzu_s[s],
+                    I[2][s] + t * dl_s[s],
+                    I[3][s] + t * dv_s[s],
+                    I[4][s] + t * (dy_s[s] + d_ref[s]))
+        return rd
+
+    def _stage_sq(s, has_prev, has_next, rdst, xb_rd, store):
+        """Sum-of-squares row of the stage-s residual block; optionally
+        stores the NEGATED residual (the Riccati rhs convention) plus
+        the (v, y, vbar) rows the factorization reads."""
+        zxs, zus, ls, vs, ys = rdst(s)
+        Ss = S_ref[s]
+        rzx = (q_ref[s] + _mvv(Q_ref[s], zxs) + _mvv(_mT(Ss), zus) - ls
+               + _mvv(_mT(E_ref[s]), vs))
+        rzu = (r_ref[s] + _mvv(Ss, zxs) + _mvv(R_ref[s], zus)
+               + _mvv(_mT(L_ref[s]), vs))
+        if has_next:
+            ln = rdst(s + 1)[2]
+            rzx = rzx + _mvv(_mT(A_ref[s]), ln)
+            rzu = rzu + _mvv(_mT(B_ref[s]), ln)
+        if has_prev:
+            prev = rdst(s - 1)
+            rl = (-c_ref[s - 1]
+                  - (_mvv(A_ref[s - 1], prev[0])
+                     + _mvv(B_ref[s - 1], prev[1]) - zxs))
+        else:
+            rl = -x0_ref[...] + zxs          # hh(0) - Gz(0) = -x0 + zx0
+        if xb_rd is not None:                # inner residual
+            bzxs, bzus, bls, bvs, _ = xb_rd(s)
+            rzx = rzx + sigma * (zxs - bzxs)
+            rzu = rzu + sigma * (zus - bzus)
+            rl = rl + sigma * (ls - bls)
+            rv = pfb(ys + sigma * (vs - bvs), vs, alpha)
+        else:                                # penalized natural residual
+            rv = (alpha * jnp.minimum(ys, vs)
+                  + (1.0 - alpha) * jnp.maximum(0.0, ys)
+                  * jnp.maximum(0.0, vs))
+        if store:
+            rzx_s[s] = -rzx
+            rzu_s[s] = -rzu
+            rl_s[s] = -rl
+            rv_s[s] = -rv
+            xv_s[s] = vs
+            xy_s[s] = ys
+            vb_s[s] = bvs
+        return (jnp.sum(rzx * rzx, axis=0, keepdims=True)
+                + jnp.sum(rzu * rzu, axis=0, keepdims=True)
+                + jnp.sum(rl * rl, axis=0, keepdims=True)
+                + jnp.sum(rv * rv, axis=0, keepdims=True))
+
+    def _staged_sq_sum(rdst, xb_rd, store):
+        acc = _stage_sq(0, False, N >= 1, rdst, xb_rd, store)
+        if N >= 2:
+            acc = lax.fori_loop(
+                1, N,
+                lambda s, a: a + _stage_sq(s, True, True, rdst, xb_rd,
+                                           store),
+                acc)
+        if N >= 1:
+            acc = acc + _stage_sq(N, True, False, rdst, xb_rd, store)
+        return acc
+
+    def st_pnr_norm(refs):
+        return mater(jnp.sqrt(_staged_sq_sum(_rd_refs(refs), None, False)))
+
+    def st_inner_norm_store(I, K):
+        """|inner_residual(xi; xbar)|, leaving -ri and (v, y, vbar) in
+        the Newton-step scratch refs."""
+        return mater(jnp.sqrt(
+            _staged_sq_sum(_rd_refs(I), _rd_refs(K), True)))
+
+    def st_trial_norm(I, K, t):
+        return mater(jnp.sqrt(
+            _staged_sq_sum(_rd_trial(I, t), _rd_refs(K), False)))
+
+    def st_newton_step(I, K, zero_row):
+        """Riccati factor/solve from the scratch rhs (written by
+        st_inner_norm_store), then staged dual recovery
+        (riccati_linear_solver.cc:329-342). Returns the ok row."""
+        riccati_factor_solve(
+            jnp.asarray(sigma, f32),
+            Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
+            xv_s, xy_s, vb_s, rzx_s, rzu_s, rl_s, rv_s,
+            dzx_s, dzu_s, dl_s,
+            Lc, Mc, SMc, SGc, None, None, th_s, h_s,
+            N=N, nx=nx, nu=nu, nc=nc, alpha=alpha, store_AP=False,
+            store_factors=not lowmem)
+
+        def dual_body(s, acc):
+            vs = I[3][s]
+            ys = I[4][s] + sigma * (vs - K[3][s])
+            ga, mus = _pfb_weights(ys, vs, sigma, alpha)
+            dzxs = dzx_s[s]
+            dzus = dzu_s[s]
+            Adz = _mvv(E_ref[s], dzxs) + _mvv(L_ref[s], dzus)
+            dv_s[s] = (rv_s[s] + ga * Adz) / mus   # rv_s holds -rv
+            dy_s[s] = -d_ref[s] - Adz
+            nan = (jnp.sum(jnp.isnan(dzxs).astype(f32), axis=0,
+                           keepdims=True)
+                   + jnp.sum(jnp.isnan(dzus).astype(f32), axis=0,
+                             keepdims=True)
+                   + jnp.sum(jnp.isnan(dl_s[s]).astype(f32), axis=0,
+                             keepdims=True))
+            return acc + nan
+
+        nan_ct = mater(lax.fori_loop(0, Np1, dual_body, zero_row))
+        return nan_ct < 0.5
+
+    def st_apply_step(I, tm):
+        """xi <- xi + tm*dx in place, margin rule on y."""
+        def body(s, z):
+            I[0][s] = I[0][s] + tm * dzx_s[s]
+            I[1][s] = I[1][s] + tm * dzu_s[s]
+            I[2][s] = I[2][s] + tm * dl_s[s]
+            I[3][s] = I[3][s] + tm * dv_s[s]
+            I[4][s] = I[4][s] + tm * (dy_s[s] + d_ref[s])
+            return z
+        lax.fori_loop(0, Np1, body, jnp.int32(0))
+
+    def st_copy(I, K):
+        def body(s, z):
+            for ri_, rk_ in zip(I, K):
+                ri_[s] = rk_[s]
+            return z
+        lax.fori_loop(0, Np1, body, jnp.int32(0))
+
+    def st_diff_norm(I, K):
+        """||xi - xk|| over (zx, zu, l, v) — the var_norm components."""
+        def stage(s):
+            t = None
+            for ri_, rk_ in zip(I[:4], K[:4]):
+                dd = ri_[s] - rk_[s]
+                ssq = jnp.sum(dd * dd, axis=0, keepdims=True)
+                t = ssq if t is None else t + ssq
+            return t
+        acc = stage(0)
+        acc = lax.fori_loop(1, Np1, lambda s, a: a + stage(s), acc)
+        return mater(jnp.sqrt(acc))
+
+    def st_forcing_norm():
+        """sqrt(|f|^2 + |h|^2 + |b|^2): h = -[x0; c], b = -d, so the
+        norms read the data refs directly."""
+        def stage_sq(s, first):
+            t = (jnp.sum(q_ref[s] * q_ref[s], axis=0, keepdims=True)
+                 + jnp.sum(r_ref[s] * r_ref[s], axis=0, keepdims=True)
+                 + jnp.sum(d_ref[s] * d_ref[s], axis=0, keepdims=True))
+            hhs = x0_ref[...] if first else c_ref[s - 1]
+            return t + jnp.sum(hhs * hhs, axis=0, keepdims=True)
+        acc = stage_sq(0, True)
+        acc = lax.fori_loop(
+            1, Np1, lambda s, a: a + stage_sq(s, False), acc)
+        return mater(jnp.sqrt(acc))
+
+    return types.SimpleNamespace(
+        f32=f32, Bl=Bl, Np1=Np1, sigma=sigma, alpha=alpha,
+        staged=staged,
+        gemvH=gemvH, gemvA=gemvA, gemvG=gemvG, gemvGT=gemvGT,
+        gemvAT=gemvAT,
+        fx=fx, fu=fu, hh=hh, bb=bb,
+        mater=mater, ssum=ssum, imax=imax,
+        inner_residual=inner_residual, pnr=pnr, rnorm=rnorm,
+        sel=sel, blend=blend, sel_x=sel_x, X=X,
+        state=state, dstep=dstep, wr_state=wr_state,
+        newton_step=newton_step,
+        st_pnr_norm=st_pnr_norm,
+        st_inner_norm_store=st_inner_norm_store,
+        st_trial_norm=st_trial_norm,
+        st_newton_step=st_newton_step,
+        st_apply_step=st_apply_step,
+        st_copy=st_copy,
+        st_diff_norm=st_diff_norm,
+        st_forcing_norm=st_forcing_norm)
+
+
+def _solve_subproblem(ctx, opts: Options, I_REFS, K_REFS,
+                      itol, Ek_outer, newton0, active):
+    """The inner semismooth Newton loop (impl.h:229-304) in-kernel.
+
+    The iterate xi lives in the I refs, the (fixed) prox center
+    xbar = xk in the K refs; only scalars/rows ride the while carry.
+    On entry xi <- xk; on exit duals are projected. Returns
+    (Eo, ninfo, lfail) as (1, B) rows.
+    """
+    i32 = jnp.int32
+    f32 = ctx.f32
+    X = ctx.X
+    blend = ctx.blend
+    bb = ctx.bb
+
+    # Carried initializers derived from computed data rather than
+    # constants: constant splat layouts meeting computed layouts at
+    # the while-loop carry join would need Mosaic's unimplemented
+    # sublane broadcast.
+    zero_row = itol * 0.0
+    one_row = zero_row + 1.0
+    zeros_i = zero_row.astype(i32)
+
+    merit0 = jnp.concatenate([zero_row] * NONMONOTONE_DEPTH, axis=0)
+
+    # xi <- xk (impl.h:182).
+    if ctx.staged:
+        ctx.st_copy(I_REFS, K_REFS)
+    else:
+        for ri_, rk_ in zip(I_REFS, K_REFS):
+            ri_[...] = rk_[...]
+
+    def icond(c):
+        (i, go) = c[0], c[1]
+        return go & (i < opts.max_inner_iters)
+
+    def ibody(c):
+        (i, _, Eo, ninfo, merit_buf, idone_i, lfail_i,
+         Ei_best, stall_ct) = c
+        # Masks ride the carry as int32 rows: Mosaic cannot lower
+        # (1, B) bool while-carries (sublane broadcast).
+        idone = idone_i > 0
+        lfail = lfail_i > 0
+        if ctx.staged:
+            # Writes -ri and (v, y, vbar) into the Newton-step scratch.
+            Ei = ctx.st_inner_norm_store(I_REFS, K_REFS)
+            Eo_new = ctx.st_pnr_norm(I_REFS)
+        else:
+            xi = ctx.state(I_REFS)
+            xbar = ctx.state(K_REFS)
+            ri = ctx.inner_residual(*xi, xbar[0], xbar[1], xbar[2],
+                                    xbar[3])
+            Ei = ctx.rnorm(ri)
+            Eo_new = ctx.rnorm(ctx.pnr(*xi))
+
+        brk = (((Ei <= itol) & (Eo_new < Ek_outer))
+               | (Ei <= opts.inner_tol_min)
+               | (ninfo >= opts.max_newton_iters))
+        if opts.inner_stall_tol > 0.0:
+            improved = Ei < Ei_best * (1.0 - opts.inner_stall_tol)
+            stall_ct = blend(improved, jnp.zeros_like(stall_ct),
+                             stall_ct + 1)
+            brk = brk | (stall_ct >= 3)
+        Ei_best = jnp.minimum(Ei_best, Ei)
+
+        step = active & ~idone & ~brk & ~lfail
+        if ctx.staged:
+            ok = ctx.st_newton_step(I_REFS, K_REFS, zero_row)
+        else:
+            ok = ctx.newton_step(*xi, xbar[3], *ri)
+        lfail_new = lfail | (step & ~ok)
+
+        current_merit = 0.5 * Ei * Ei
+        buf = jnp.concatenate(
+            [current_merit, merit_buf[:-1]], axis=0)
+        if opts.nonmonotone_linesearch:
+            m0 = ctx.mater(jnp.max(buf, axis=0, keepdims=True))
+        else:
+            m0 = current_merit
+
+        def lcond(lc):
+            return lc[2] & (lc[0] < opts.max_linesearch_iters)
+
+        def lbody(lc):
+            j, t, _, _ = lc
+            if ctx.staged:
+                np_ = ctx.st_trial_norm(I_REFS, K_REFS, t)
+            else:
+                tb = t
+                xi_ = ctx.state(I_REFS)
+                d = ctx.dstep()
+                # Trial x + t*dx with the margin rule
+                # y <- y + t*(dy - b) (full_variable.cc:55-65).
+                xp = X((xi_[0] + tb * d[0], xi_[1] + tb * d[1],
+                        xi_[2] + tb * d[2], xi_[3] + tb * d[3],
+                        xi_[4] + tb * (d[4] - bb)))
+                xb = ctx.state(K_REFS)
+                rp = ctx.inner_residual(*xp, xb[0], xb[1], xb[2], xb[3])
+                np_ = ctx.rnorm(rp)
+            mp = 0.5 * np_ * np_
+            accept = mp <= m0 - 2.0 * t * opts.eta * current_merit
+            acc_f = accept.astype(f32)
+            t_next = t * (acc_f + (1.0 - acc_f) * opts.beta)
+            go = jnp.any(~accept & step)
+            return j + 1, t_next, go, accept.astype(jnp.int32)
+
+        _, t_fin, _, _ = lax.while_loop(
+            lcond, lbody,
+            (i32(0), one_row, jnp.bool_(True), zeros_i))
+
+        tm = step.astype(f32) * t_fin
+        if ctx.staged:
+            ctx.st_apply_step(I_REFS, tm)
+        else:
+            d = ctx.dstep()
+            ctx.wr_state(I_REFS, X((
+                xi[0] + tm * d[0], xi[1] + tm * d[1],
+                xi[2] + tm * d[2], xi[3] + tm * d[3],
+                xi[4] + tm * (d[4] - bb))))
+
+        ninfo_new = ninfo + step.astype(jnp.int32)
+        Eo_out = blend(active & ~idone, Eo_new, Eo)
+        idone_new = idone | (brk & active) | ~active
+
+        go = jnp.any(active & ~idone_new & ~lfail_new)
+        return (i + 1, go, Eo_out, ninfo_new, buf,
+                idone_new.astype(jnp.int32),
+                lfail_new.astype(jnp.int32), Ei_best, stall_ct)
+
+    init = (i32(0), jnp.any(active),
+            zero_row, newton0, merit0,
+            zeros_i, zeros_i,
+            zero_row + jnp.inf, zeros_i)
+    (_, _, Eo, ninfo, _, _, lfail_i, _, _) = lax.while_loop(
+        icond, ibody, init)
+    lfail = lfail_i > 0
+    # Project duals (impl.h:301).
+    iv_ref = I_REFS[3]
+    iv_ref[...] = jnp.maximum(iv_ref[...], 0.0)
+    return Eo, ninfo, lfail
+
+
+def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
+    """Builds the full-solve kernel body closure for static dims +
+    options. lowmem selects the recompute-factors Riccati mode (large
+    stage dims)."""
+    Np1 = N + 1
+    ns = nx + nu
 
     def kernel(q_ref, r_ref, c_ref, x0_ref, d_ref,
                Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
@@ -105,233 +687,45 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
                # outputs
                z_out, l_out, v_out, y_out,
                eflag_out, res_out, newton_out, prox_out, e0_out,
-               # scratch for the Newton step (x/u parts separate: Mosaic
-               # cannot reduce over the offset layouts produced by slicing
-               # the stage dim at non-sublane-aligned nx boundaries), plus
-               # the xk/xi iterate state in VMEM refs: carrying whole
-               # iterates through the while loops as SSA values makes the
-               # register allocator spill every live copy to scoped-VMEM
-               # slots (measured 144 MB of spill slots at nx=18/N=80);
-               # ref-based state bounds the live set to the few vectors
-               # actually being combined.
+               # scratch: the Newton-step set, then the xk/xi iterate
+               # state in VMEM refs — carrying whole iterates through the
+               # while loops as SSA values makes the register allocator
+               # spill every live copy to scoped-VMEM slots (measured
+               # 144 MB of spill slots at nx=18/N=80); ref-based state
+               # bounds the live set to the few vectors being combined.
                *scr):
-        if lowmem:
-            (rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
-             dzx_s, dzu_s, dl_s, dv_s, dy_s,
-             kzx, kzu, kl, kv, ky, izx, izu, il, iv, iy,
-             Lc, th_s, h_s, red_s) = scr
-            Mc = SMc = SGc = None
-        else:
-            (rzx_s, rzu_s, rl_s, rv_s, xv_s, xy_s, vb_s,
-             dzx_s, dzu_s, dl_s, dv_s, dy_s,
-             kzx, kzu, kl, kv, ky, izx, izu, il, iv, iy,
-             Lc, Mc, SMc, SGc, th_s, h_s, red_s) = scr
-        f32 = Q_ref.dtype
-        Bl = Q_ref.shape[-1]
+        n_step = 15 if lowmem else 18
+        step_scr = scr[:n_step]
+        K_REFS = scr[n_step:n_step + 5]
+        I_REFS = scr[n_step + 5:n_step + 10]
+        red_s = scr[n_step + 10]
 
-        # ---------- stage-structured operators (2-D state) ----------
-        # The stage-matrix REFS go straight into the matvec helpers, which
-        # slice one column at a time: loading a whole matrix as a value
-        # (Q_ref[...]) keeps a multi-MB register-resident array live per
-        # operator and blows the register allocator into scoped-VMEM spill
-        # slots at large stage dims.
-        def gemvH(zx, zu):
-            yx = (_stage_matvec(Q_ref, zx, nx, nx)
-                  + _stage_matvec_T(S_ref, zu, nu, nx))
-            yu = (_stage_matvec(S_ref, zx, nu, nx)
-                  + _stage_matvec(R_ref, zu, nu, nu))
-            return yx, yu
-
-        def gemvA(zx, zu):
-            return (_stage_matvec(E_ref, zx, nc, nx)
-                    + _stage_matvec(L_ref, zu, nc, nu))
-
-        def gemvG(zx, zu):
-            zxs = zx.reshape(Np1, nx, Bl)
-            zus = zu.reshape(Np1, nu, Bl)
-            tail = (_stage_matvec(A_ref, zxs[:-1].reshape(N * nx, Bl),
-                                  nx, nx).reshape(N, nx, Bl)
-                    + _stage_matvec(B_ref, zus[:-1].reshape(N * nu, Bl),
-                                    nx, nu).reshape(N, nx, Bl)
-                    - zxs[1:])
-            return jnp.concatenate([-zxs[:1], tail],
-                                   axis=0).reshape(Np1 * nx, Bl)
-
-        def gemvGT(l):
-            ls = l.reshape(Np1, nx, Bl)
-            lp = ls[1:].reshape(N * nx, Bl)
-            atv = _stage_matvec_T(A_ref, lp, nx, nx).reshape(N, nx, Bl)
-            btv = _stage_matvec_T(B_ref, lp, nx, nu).reshape(N, nu, Bl)
-            zx = jnp.zeros((1, nx, Bl), f32)
-            zu = jnp.zeros((1, nu, Bl), f32)
-            yx = -ls + jnp.concatenate([atv, zx], axis=0)
-            yu = jnp.concatenate([btv, zu], axis=0)
-            return yx.reshape(Np1 * nx, Bl), yu.reshape(Np1 * nu, Bl)
-
-        def gemvAT(v):
-            yx = _stage_matvec_T(E_ref, v, nc, nx)
-            yu = _stage_matvec_T(L_ref, v, nc, nu)
-            return yx, yu
-
-        fx = q_ref[...].reshape(Np1 * nx, Bl)
-        fu = r_ref[...].reshape(Np1 * nu, Bl)
-        hh = -jnp.concatenate(
-            [x0_ref[...][None], c_ref[...]], axis=0).reshape(Np1 * nx, Bl)
-        bb = -d_ref[...].reshape(Np1 * nc, Bl)
-
-        def mater(x):
-            """Round-trips a (1, B) reduction result through VMEM to
-            force a canonical vector layout: sublane-reduction outputs
-            carry replicated layouts that Mosaic cannot re-broadcast when
-            they meet while-loop carries (Not implemented: Sublane
-            broadcast)."""
-            red_s[...] = x
-            return red_s[...]
-
-        def ssum(a):
-            return jnp.sum(a * a, axis=0, keepdims=True)       # (1, B)
-
-        def imax(a):
-            return mater(jnp.max(jnp.abs(a), axis=0, keepdims=True))
+        ctx = _build_ctx(
+            N, nx, nu, nc, opts, lowmem,
+            (q_ref, r_ref, c_ref, x0_ref, d_ref,
+             Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref),
+            step_scr, red_s)
+        f32 = ctx.f32
+        Bl = ctx.Bl
+        X = ctx.X
+        blend = ctx.blend
+        sel_x = ctx.sel_x
+        mater = ctx.mater
+        ssum = ctx.ssum
+        imax = ctx.imax
+        bb = ctx.bb
+        fx, fu, hh = ctx.fx, ctx.fu, ctx.hh
 
         forcing = mater(jnp.sqrt(ssum(fx) + ssum(fu) + ssum(hh)
-                         + ssum(bb)))
+                        + ssum(bb)))
         combo_tol = opts.abs_tol + opts.rel_tol * (1.0 + forcing)
-
-        def inner_residual(zx, zu, l, v, y, bzx, bzu, bl, bv):
-            hx, hu = gemvH(zx, zu)
-            gx, gu = gemvGT(l)
-            ax, au = gemvAT(v)
-            rzx = fx + hx + gx + ax + sigma * (zx - bzx)
-            rzu = fu + hu + gu + au + sigma * (zu - bzu)
-            rl = hh - gemvG(zx, zu) + sigma * (l - bl)
-            rv = pfb(y + sigma * (v - bv), v, alpha)
-            return rzx, rzu, rl, rv
-
-        def pnr(zx, zu, l, v, y):
-            hx, hu = gemvH(zx, zu)
-            gx, gu = gemvGT(l)
-            ax, au = gemvAT(v)
-            rzx = fx + hx + gx + ax
-            rzu = fu + hu + gu + au
-            rl = hh - gemvG(zx, zu)
-            rv = (alpha * jnp.minimum(y, v)
-                  + (1.0 - alpha) * jnp.maximum(0.0, y)
-                  * jnp.maximum(0.0, v))
-            return rzx, rzu, rl, rv
-
-        def rnorm(r4):
-            rzx, rzu, rl, rv = r4
-            return mater(
-                jnp.sqrt(ssum(rzx) + ssum(rzu) + ssum(rl) + ssum(rv)))
-
-        def sel(m, a, b):
-            """Per-instance select: m (1, B) bool; a/b (1, B) or
-            (rows, B). Row-broadcast selects expand the mask explicitly
-            with an add-broadcast (Mosaic supports sublane broadcast for
-            arithmetic but not for select_n)."""
-            if a.shape[0] == m.shape[0]:
-                return jnp.where(m, a, b)
-            mf = jnp.zeros(a.shape, a.dtype if a.dtype != jnp.int32
-                           else jnp.float32)
-            mf = mf + m.astype(mf.dtype)
-            return jnp.where(mf > 0.5, a, b)
-
-        def blend(m, a, b):
-            """Select-free per-instance (1, B) select: b + m*(a - b).
-            Mosaic fails to lower select_n on (1, B) operands coming out
-            of reductions (replicated layouts), while arithmetic
-            broadcasts are fine. NOT NaN-masking: a NaN in either operand
-            leaks through; every call site below either has both operands
-            finite or only contaminates lanes that already exited with
-            LINEAR_SOLVER_FAILED (whose outputs are taken from the
-            pre-failure iterate)."""
-            mf = m.astype(a.dtype) if a.dtype != jnp.int32 else \
-                m.astype(jnp.int32)
-            return b + mf * (a - b)
-
-        X = tuple  # state = (zx, zu, l, v, y), all 2-D (rows, B)
-
-        def sel_x(m, a, b):
-            return X(sel(m, ai, bi) for ai, bi in zip(a, b))
-
-        _STATE_NS = (nx, nu, nx, nc, nc)
-
-        def rd(ref, n):
-            return ref[...].reshape(Np1 * n, Bl)
-
-        def kstate():
-            return X((rd(kzx, nx), rd(kzu, nu), rd(kl, nx), rd(kv, nc),
-                      rd(ky, nc)))
-
-        def istate():
-            return X((rd(izx, nx), rd(izu, nu), rd(il, nx), rd(iv, nc),
-                      rd(iy, nc)))
-
-        def dstep():
-            return X((rd(dzx_s, nx), rd(dzu_s, nu), rd(dl_s, nx),
-                      rd(dv_s, nc), rd(dy_s, nc)))
-
-        def wr_state(refs, vals):
-            for r, v_, n in zip(refs, vals, _STATE_NS):
-                r[...] = v_.reshape(Np1, n, Bl)
-
-        I_REFS = (izx, izu, il, iv, iy)
-        K_REFS = (kzx, kzu, kl, kv, ky)
-
-        def newton_step(zx, zu, l, v, y, bv, rzx, rzu, rl, rv):
-            """Writes -r into scratch, runs the Riccati factor/solve,
-            leaves the step (dzx..dy) in the d-refs, returns ok."""
-            rzx_s[...] = (-rzx).reshape(Np1, nx, Bl)
-            rzu_s[...] = (-rzu).reshape(Np1, nu, Bl)
-            rl_s[...] = (-rl).reshape(Np1, nx, Bl)
-            rv_s[...] = (-rv).reshape(Np1, nc, Bl)
-            xv_s[...] = v.reshape(Np1, nc, Bl)
-            xy_s[...] = y.reshape(Np1, nc, Bl)
-            vb_s[...] = bv.reshape(Np1, nc, Bl)
-            riccati_factor_solve(
-                jnp.asarray(sigma, f32),
-                Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
-                xv_s, xy_s, vb_s, rzx_s, rzu_s, rl_s, rv_s,
-                dzx_s, dzu_s, dl_s,
-                Lc, Mc, SMc, SGc, None, None, th_s, h_s,
-                N=N, nx=nx, nu=nu, nc=nc, alpha=alpha, store_AP=False,
-                store_factors=not lowmem)
-            dzx = rd(dzx_s, nx)
-            dzu = rd(dzu_s, nu)
-            dl = rd(dl_s, nx)
-            # Dual recovery (riccati_linear_solver.cc:329-342).
-            ys = y + sigma * (v - bv)
-            rr = jnp.sqrt(ys * ys + v * v)
-            deg = rr < 1e-13
-            rr = jnp.where(deg, 1.0, rr)
-            ga = alpha * (1.0 - ys / rr)
-            gb = alpha * (1.0 - v / rr)
-            inter = (ys > 0) & (v > 0)
-            ga = jnp.where(inter, ga + (1.0 - alpha) * v, ga)
-            gb = jnp.where(inter, gb + (1.0 - alpha) * ys, gb)
-            dgn = alpha * (1.0 - 1.0 / jnp.sqrt(jnp.asarray(2.0, f32)))
-            ga = jnp.where(deg, dgn, ga)
-            gb = jnp.where(deg, dgn, gb)
-            mus = gb + sigma * ga
-            Adz = gemvA(dzx, dzu)
-            dv_s[...] = ((-rv + ga * Adz) / mus).reshape(Np1, nc, Bl)
-            dy_s[...] = (bb - Adz).reshape(Np1, nc, Bl)
-            nan_ct = mater(jnp.sum(jnp.isnan(dzx).astype(f32), axis=0,
-                                   keepdims=True)
-                           + jnp.sum(jnp.isnan(dzu).astype(f32), axis=0,
-                                     keepdims=True)
-                           + jnp.sum(jnp.isnan(dl).astype(f32), axis=0,
-                                     keepdims=True))
-            ok = nan_ct < 0.5
-            return ok
 
         # ---------- initialization (impl.h:139-149) ----------
         zx0 = zx0_ref[...].reshape(Np1 * nx, Bl)
         zu0 = zu0_ref[...].reshape(Np1 * nu, Bl)
         l0 = l0_ref[...].reshape(Np1 * nx, Bl)
         v0 = v0_ref[...].reshape(Np1 * nc, Bl)
-        y0 = bb - gemvA(zx0, zu0)
+        y0 = bb - ctx.gemvA(zx0, zu0)
         xk0 = X((zx0, zu0, l0, v0, y0))
 
         ones_zx = jnp.ones_like(zx0)
@@ -342,124 +736,14 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             ssum(ones_zx) + ssum(ones_zu) + ssum(jnp.ones_like(l0))
             + ssum(jnp.ones_like(v0))))
 
-        E0 = rnorm(pnr(*xk0))
+        E0 = ctx.rnorm(ctx.pnr(*xk0))
         e0_out[...] = E0
         itol0 = jnp.clip(E0, opts.inner_tol_min, opts.inner_tol_max)
 
         i32 = jnp.int32
-        # Carried initializers derived from computed data rather than
-        # constants: constant splat layouts meeting computed layouts at
-        # the while-loop carry join would need Mosaic's unimplemented
-        # sublane broadcast.
         zero_row = E0 * 0.0
-        one_row = zero_row + 1.0
-        zeros_i = zero_row.astype(i32)
         false_b = zero_row > 1.0
-
-        # ---------- inner subproblem (impl.h:229-304) ----------
-        # The iterate xi lives in the i-refs, the (fixed) prox center
-        # xbar = xk in the k-refs; only scalars/rows ride the while carry.
-        def solve_subproblem(itol, Ek_outer, newton0, active):
-            merit0 = jnp.concatenate([zero_row] * NONMONOTONE_DEPTH,
-                                     axis=0)
-
-            # xi <- xk (impl.h:182).
-            for ri_, rk_ in zip(I_REFS, K_REFS):
-                ri_[...] = rk_[...]
-
-            def icond(c):
-                (i, go) = c[0], c[1]
-                return go & (i < opts.max_inner_iters)
-
-            def ibody(c):
-                (i, _, Eo, ninfo, merit_buf, idone_i, lfail_i,
-                 Ei_best, stall_ct) = c
-                # Masks ride the carry as int32 rows: Mosaic cannot lower
-                # (1, B) bool while-carries (sublane broadcast).
-                idone = idone_i > 0
-                lfail = lfail_i > 0
-                xi = istate()
-                xbar = kstate()
-                ri = inner_residual(*xi, xbar[0], xbar[1], xbar[2],
-                                    xbar[3])
-                Ei = rnorm(ri)
-                Eo_new = rnorm(pnr(*xi))
-
-                brk = (((Ei <= itol) & (Eo_new < Ek_outer))
-                       | (Ei <= opts.inner_tol_min)
-                       | (ninfo >= opts.max_newton_iters))
-                if opts.inner_stall_tol > 0.0:
-                    improved = Ei < Ei_best * (1.0 - opts.inner_stall_tol)
-                    stall_ct = blend(improved, jnp.zeros_like(stall_ct),
-                                     stall_ct + 1)
-                    brk = brk | (stall_ct >= 3)
-                Ei_best = jnp.minimum(Ei_best, Ei)
-
-                step = active & ~idone & ~brk & ~lfail
-                ok = newton_step(*xi, xbar[3], *ri)
-                lfail_new = lfail | (step & ~ok)
-
-                current_merit = 0.5 * Ei * Ei
-                buf = jnp.concatenate(
-                    [current_merit, merit_buf[:-1]], axis=0)
-                if opts.nonmonotone_linesearch:
-                    m0 = mater(jnp.max(buf, axis=0, keepdims=True))
-                else:
-                    m0 = current_merit
-
-                def lcond(lc):
-                    return lc[2] & (lc[0] < opts.max_linesearch_iters)
-
-                def lbody(lc):
-                    j, t, _, _ = lc
-                    tb = t
-                    xi_ = istate()
-                    d = dstep()
-                    # Trial x + t*dx with the margin rule
-                    # y <- y + t*(dy - b) (full_variable.cc:55-65).
-                    xp = X((xi_[0] + tb * d[0], xi_[1] + tb * d[1],
-                            xi_[2] + tb * d[2], xi_[3] + tb * d[3],
-                            xi_[4] + tb * (d[4] - bb)))
-                    xb = kstate()
-                    rp = inner_residual(*xp, xb[0], xb[1], xb[2], xb[3])
-                    np_ = rnorm(rp)
-                    mp = 0.5 * np_ * np_
-                    accept = mp <= m0 - 2.0 * t * opts.eta * current_merit
-                    acc_f = accept.astype(f32)
-                    t_next = t * (acc_f + (1.0 - acc_f) * opts.beta)
-                    go = jnp.any(~accept & step)
-                    return j + 1, t_next, go, accept.astype(jnp.int32)
-
-                _, t_fin, _, _ = lax.while_loop(
-                    lcond, lbody,
-                    (i32(0), one_row, jnp.bool_(True), zeros_i))
-
-                tm = step.astype(f32) * t_fin
-                d = dstep()
-                wr_state(I_REFS, X((
-                    xi[0] + tm * d[0], xi[1] + tm * d[1],
-                    xi[2] + tm * d[2], xi[3] + tm * d[3],
-                    xi[4] + tm * (d[4] - bb))))
-
-                ninfo_new = ninfo + step.astype(jnp.int32)
-                Eo_out = blend(active & ~idone, Eo_new, Eo)
-                idone_new = idone | (brk & active) | ~active
-
-                go = jnp.any(active & ~idone_new & ~lfail_new)
-                return (i + 1, go, Eo_out, ninfo_new, buf,
-                        idone_new.astype(jnp.int32),
-                        lfail_new.astype(jnp.int32), Ei_best, stall_ct)
-
-            init = (i32(0), jnp.any(active),
-                    zero_row, newton0, merit0,
-                    zeros_i, zeros_i,
-                    zero_row + jnp.inf, zeros_i)
-            (_, _, Eo, ninfo, _, _, lfail_i, _, _) = lax.while_loop(
-                icond, ibody, init)
-            lfail = lfail_i > 0
-            # Project duals (impl.h:301).
-            iv[...] = jnp.maximum(iv[...], 0.0)
-            return Eo, ninfo, lfail
+        zeros_i = zero_row.astype(i32)
 
         # ---------- outer proximal loop (impl.h:158-224) ----------
         def write_out(mask, xval):
@@ -486,17 +770,17 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             (k, _, dxn, itol, Ek_prev, ninfo, pinfo, done_i, eflag,
              ores) = c
             done = done_i > 0
-            xk = kstate()
-            Ek = rnorm(pnr(*xk))
+            xk = ctx.state(K_REFS)
+            Ek = ctx.rnorm(ctx.pnr(*xk))
             success = (Ek <= combo_tol) | (dxn <= opts.stall_tol)
 
             itol_new = jnp.clip(itol * opts.delta, opts.inner_tol_min, Ek)
 
             active = ~done & ~success
-            Eo, ninfo_new, lfail = solve_subproblem(
-                itol_new, Ek, ninfo, active)
-            xi = istate()
-            xk = kstate()    # re-read: shortens live ranges across the loop
+            Eo, ninfo_new, lfail = _solve_subproblem(
+                ctx, opts, I_REFS, K_REFS, itol_new, Ek, ninfo, active)
+            xi = ctx.state(I_REFS)
+            xk = ctx.state(K_REFS)  # re-read: shortens live ranges
 
             dx_new = X((xi[0] - xk[0], xi[1] - xk[1], xi[2] - xk[2],
                         xi[3] - xk[3], xi[4] - xk[4] + bb))
@@ -508,16 +792,16 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             exhausted = active & (ninfo_new >= opts.max_newton_iters)
             better_xi = Eo < Ek
             xbud = sel_x(better_xi, xi, xk)
-            res_bud = rnorm(pnr(*xbud))
+            res_bud = ctx.rnorm(ctx.pnr(*xbud))
 
             # Infeasibility detection (full_feasibility.cc:29-87).
             if opts.check_feasibility:
                 dzx_, dzu_, dl_, dv_ = (dx_new[0], dx_new[1], dx_new[2],
                                         dx_new[3])
-                d1 = mater(jnp.max(gemvA(dzx_, dzu_), axis=0,
+                d1 = mater(jnp.max(ctx.gemvA(dzx_, dzu_), axis=0,
                                    keepdims=True))
-                d2 = imax(gemvG(dzx_, dzu_))
-                d3x, d3u = gemvH(dzx_, dzu_)
+                d2 = imax(ctx.gemvG(dzx_, dzu_))
+                d3x, d3u = ctx.gemvH(dzx_, dzu_)
                 d3 = jnp.maximum(imax(d3x), imax(d3u))
                 d4 = mater(jnp.sum(fx * dzx_, axis=0, keepdims=True)
                            + jnp.sum(fu * dzu_, axis=0, keepdims=True))
@@ -525,8 +809,8 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
                 tol_i = opts.infeas_tol
                 d_inf = ((d1 <= w * tol_i) & (d2 <= tol_i * w)
                          & (d3 <= tol_i * w) & (d4 < 0) & (w > 1e-14))
-                p1x, p1u = gemvAT(dv_)
-                g1x, g1u = gemvGT(dl_)
+                p1x, p1u = ctx.gemvAT(dv_)
+                g1x, g1u = ctx.gemvGT(dl_)
                 p1 = jnp.maximum(imax(p1x + g1x), imax(p1u + g1u))
                 p2 = mater(jnp.sum(hh * dl_, axis=0, keepdims=True)
                            + jnp.sum(bb * dv_, axis=0, keepdims=True))
@@ -571,7 +855,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             ores_new = blend(success & ~done, Ek, ores_new)
 
             cont = ~done_new
-            wr_state(K_REFS, sel_x(cont, xi, xk))  # x(k+1) = xi
+            ctx.wr_state(K_REFS, sel_x(cont, xi, xk))  # x(k+1) = xi
             pinfo_new = pinfo + cont.astype(jnp.int32)
             Ek_keep = blend(done, Ek_prev, Ek)
 
@@ -582,7 +866,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
 
         # Output refs start undefined: initialize with the warmstart so
         # masked exit-writes compose against defined data.
-        wr_state(K_REFS, xk0)
+        ctx.wr_state(K_REFS, xk0)
         write_out(zero_row < 1.0, xk0)
 
         init = (i32(0), jnp.bool_(True), dxn0, itol0,
@@ -594,7 +878,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
         done_f = done_fi > 0
 
         # Prox budget exhausted (impl.h:219-223): xk with last Ek.
-        write_out(~done_f, kstate())
+        write_out(~done_f, ctx.state(K_REFS))
         out_res = blend(done_f, ores_f, Ek_f)
         eflag_fin = blend(done_f, eflag_f,
                           jnp.zeros((1, Bl), i32)
@@ -606,6 +890,48 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
         prox_out[...] = pinfo_f
 
     return kernel
+
+
+def _step_scratch_shapes(N, nx, nu, nc, tile_b, dtype, lowmem: bool):
+    """VMEM scratch for one Newton step (matches _build_ctx's unpack)."""
+    N1 = N + 1
+    shapes = [
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # rzx_s
+        pltpu.VMEM((N1, nu, tile_b), dtype),       # rzu_s
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # rl_s
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # rv_s
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # xv_s
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # xy_s
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # vb_s
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # dzx_s
+        pltpu.VMEM((N1, nu, tile_b), dtype),       # dzu_s
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # dl_s
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # dv_s
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # dy_s
+        pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
+    ]
+    if not lowmem:
+        shapes += [
+            pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Mc
+            pltpu.VMEM((N1, nu, nx, tile_b), dtype),   # SMc
+            pltpu.VMEM((N1, nu, nu, tile_b), dtype),   # SGc
+        ]
+    shapes += [
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # th
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # h
+    ]
+    return shapes
+
+
+def _state_scratch_shapes(N, nx, nu, nc, tile_b, dtype):
+    N1 = N + 1
+    return [
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # zx
+        pltpu.VMEM((N1, nu, tile_b), dtype),       # zu
+        pltpu.VMEM((N1, nx, tile_b), dtype),       # l
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # v
+        pltpu.VMEM((N1, nc, tile_b), dtype),       # y
+    ]
 
 
 @functools.partial(
@@ -679,41 +1005,10 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
               (1,), (1,), (1,), (1,), (1,))
     out_dt = (dtype, dtype, dtype, dtype,
               jnp.int32, dtype, jnp.int32, jnp.int32, dtype)
-    state = [
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # zx
-        pltpu.VMEM((N1, nu, tile_b), dtype),       # zu
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # l
-        pltpu.VMEM((N1, nc, tile_b), dtype),       # v
-        pltpu.VMEM((N1, nc, tile_b), dtype),       # y
-    ]
-    scratch = [
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # rzx_s
-        pltpu.VMEM((N1, nu, tile_b), dtype),       # rzu_s
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # rl_s
-        pltpu.VMEM((N1, nc, tile_b), dtype),       # rv_s
-        pltpu.VMEM((N1, nc, tile_b), dtype),       # xv_s
-        pltpu.VMEM((N1, nc, tile_b), dtype),       # xy_s
-        pltpu.VMEM((N1, nc, tile_b), dtype),       # vb_s
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # dzx_s
-        pltpu.VMEM((N1, nu, tile_b), dtype),       # dzu_s
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # dl_s
-        pltpu.VMEM((N1, nc, tile_b), dtype),       # dv_s
-        pltpu.VMEM((N1, nc, tile_b), dtype),       # dy_s
-        *state,                                    # xk refs
-        *state,                                    # xi refs
-        pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Lc
-    ]
-    if not lowmem:
-        scratch += [
-            pltpu.VMEM((N1, nx, nx, tile_b), dtype),   # Mc
-            pltpu.VMEM((N1, nu, nx, tile_b), dtype),   # SMc
-            pltpu.VMEM((N1, nu, nu, tile_b), dtype),   # SGc
-        ]
-    scratch += [
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # th
-        pltpu.VMEM((N1, nx, tile_b), dtype),       # h
-        pltpu.VMEM((1, tile_b), dtype),            # red_s (see mater)
-    ]
+    scratch = _step_scratch_shapes(N, nx, nu, nc, tile_b, dtype, lowmem)
+    scratch += _state_scratch_shapes(N, nx, nu, nc, tile_b, dtype)  # xk
+    scratch += _state_scratch_shapes(N, nx, nu, nc, tile_b, dtype)  # xi
+    scratch += [pltpu.VMEM((1, tile_b), dtype)]    # red_s (see mater)
 
     if lowmem:
         vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -769,3 +1064,192 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         newton_iters=unprep(outs[6], 0), prox_iters=unprep(outs[7], 0),
         initial_residual=unprep(outs[8], 0))
     return x, core
+
+
+# ------------------------------------------------------------------
+# Subproblem kernel: one proximal subproblem per launch; the outer
+# proximal loop runs in XLA (models/mpc_subfused.py).
+# ------------------------------------------------------------------
+
+def _make_subproblem_kernel(N, nx, nu, nc, opts: Options,
+                            lowmem: bool = False):
+    """One outer-iteration kernel: Ek / success / inner_tol / the whole
+    inner Newton loop / dxn, computed IN-KERNEL so every quantity feeding
+    an iteration-count decision comes from the same arithmetic as the
+    full-solve kernel (mixing XLA-computed thresholds with kernel-computed
+    residuals flips near-threshold exits — found by the copoly parity
+    test). The XLA outer loop does only exit bookkeeping on the exported
+    rows."""
+    def kernel(q_ref, r_ref, c_ref, x0_ref, d_ref,
+               Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref,
+               bzx_ref, bzu_ref, bl_ref, bv_ref, by_ref,   # xbar = xk
+               itol_ref, dxn_ref, n0_ref, done_ref,        # (1, B) rows
+               # outputs
+               izx, izu, il, iv, iy,                       # xi
+               eo_out, ninfo_out, lfail_out,
+               ek_out, succ_out, itol_out, dxn_out,
+               # scratch
+               *scr):
+        n_step = 15 if lowmem else 18
+        step_scr = scr[:n_step]
+        red_s = scr[n_step]
+
+        ctx = _build_ctx(
+            N, nx, nu, nc, opts, lowmem,
+            (q_ref, r_ref, c_ref, x0_ref, d_ref,
+             Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref),
+            step_scr, red_s, staged=True)
+        mater = ctx.mater
+
+        forcing = ctx.st_forcing_norm()
+        combo_tol = opts.abs_tol + opts.rel_tol * (1.0 + forcing)
+
+        K_REFS = (bzx_ref, bzu_ref, bl_ref, bv_ref, by_ref)
+        I_REFS = (izx, izu, il, iv, iy)
+        itol_prev = itol_ref[...]
+        dxn_prev = dxn_ref[...]
+        n0 = n0_ref[...]
+        done = done_ref[...] > 0
+
+        # Outer-iteration head (impl.h:162-180), in-kernel arithmetic.
+        Ek = ctx.st_pnr_norm(K_REFS)
+        success = (Ek <= combo_tol) | (dxn_prev <= opts.stall_tol)
+        itol = jnp.clip(itol_prev * opts.delta, opts.inner_tol_min, Ek)
+        active = ~done & ~success
+
+        Eo, ninfo, lfail = _solve_subproblem(
+            ctx, opts, I_REFS, K_REFS, itol, Ek, n0, active)
+
+        # dx norm for the next iteration's stall test (impl.h:164,203).
+        dxn_new = ctx.st_diff_norm(I_REFS, K_REFS)
+
+        eo_out[...] = Eo
+        ninfo_out[...] = ninfo
+        lfail_out[...] = lfail.astype(jnp.int32)
+        ek_out[...] = Ek
+        succ_out[...] = success.astype(jnp.int32)
+        itol_out[...] = itol
+        dxn_out[...] = ctx.blend(active, dxn_new, dxn_prev)
+
+    return kernel
+
+
+def prep_subfused_data(data, B: int, tile_b: int = TILE_B):
+    """Tiles batch-first MpcQPData into the (T, *shape, tile_b) layout the
+    subproblem kernel's lax.map consumes. Built ONCE per solve, outside
+    the outer proximal loop, so the transposes are loop invariants."""
+    N = data.A.shape[1]
+    nx = data.A.shape[-1]
+    nu = data.B.shape[-1]
+    nc = data.E.shape[-2]
+    N1 = N + 1
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    pad = Bp - B
+    T = Bp // tile_b
+
+    def prep(a, shape):
+        a = a.reshape((B,) + shape)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        a = a.reshape((T, tile_b) + shape)
+        return jnp.moveaxis(a, 1, -1)
+
+    return (
+        prep(data.q, (N1, nx)), prep(data.r, (N1, nu)),
+        prep(data.c, (N, nx)), prep(data.x0, (nx,)),
+        prep(data.d, (N1, nc)),
+        prep(data.Q, (N1, nx, nx)), prep(data.R, (N1, nu, nu)),
+        prep(data.S, (N1, nu, nx)),
+        prep(data.A, (N, nx, nx)), prep(data.B, (N, nx, nu)),
+        prep(data.E, (N1, nc, nx)), prep(data.L, (N1, nc, nu)),
+    )
+
+
+def mpc_subproblem_fused(data_tiles, dims, xbar: Variable, itol_prev,
+                         dxn_prev, newton0, done, options: Options,
+                         interpret: bool = False, tile_b: int = TILE_B,
+                         lowmem: bool = False):
+    """One fused outer iteration over a batch: in-kernel Ek / success /
+    inner-tolerance update / the whole inner Newton loop / dx norm.
+
+    data_tiles: output of prep_subfused_data (loop-invariant).
+    dims: (N, nx, nu, nc). xbar: batch-first Variable (the prox center;
+    xi is initialized to it in-kernel). itol_prev/dxn_prev: (B,) f32;
+    newton0: (B,) i32; done: (B,) bool. Inactive lanes (done or success)
+    return xi = xbar, Eo = 0, unchanged counters — the cond-select
+    semantics of the vmapped algorithm. Returns
+    (xi, Eo, ninfo, lfail, Ek, success, itol, dxn), scalars as (B,).
+    """
+    opts = options.validated()
+    N, nx, nu, nc = dims
+    N1, ns = N + 1, nx + nu
+    B = itol_prev.shape[0]
+    dtype = itol_prev.dtype
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    pad = Bp - B
+    T = Bp // tile_b
+
+    def prep(a, shape):
+        a = a.reshape((B,) + shape)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        a = a.reshape((T, tile_b) + shape)
+        return jnp.moveaxis(a, 1, -1)
+
+    zs = xbar.z.reshape(B, N1, ns)
+    ins = data_tiles + (
+        prep(zs[:, :, :nx].reshape(B, N1 * nx), (N1, nx)),
+        prep(zs[:, :, nx:].reshape(B, N1 * nu), (N1, nu)),
+        prep(xbar.l, (N1, nx)), prep(xbar.v, (N1, nc)),
+        prep(xbar.y, (N1, nc)),
+        prep(itol_prev[:, None], (1,)), prep(dxn_prev[:, None], (1,)),
+        prep(newton0[:, None].astype(jnp.int32), (1,)),
+        prep(done[:, None].astype(jnp.int32), (1,)),
+    )
+
+    kernel = _make_subproblem_kernel(N, nx, nu, nc, opts, lowmem=lowmem)
+    out_sh = ((N1, nx), (N1, nu), (N1, nx), (N1, nc), (N1, nc),
+              (1,), (1,), (1,), (1,), (1,), (1,), (1,))
+    out_dt = (dtype, dtype, dtype, dtype, dtype,
+              dtype, jnp.int32, jnp.int32,
+              dtype, jnp.int32, dtype, dtype)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(s + (tile_b,), dt)
+        for s, dt in zip(out_sh, out_dt))
+    scratch = _step_scratch_shapes(N, nx, nu, nc, tile_b, dtype, lowmem)
+    scratch += [pltpu.VMEM((1, tile_b), dtype)]    # red_s
+
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[vspec() for _ in ins],
+        out_specs=tuple(vspec() for _ in out_shape),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=cparams,
+    )
+    outs = lax.map(lambda a: call(*a), ins)
+
+    def unprep(a, flat):
+        a = jnp.moveaxis(a, -1, 1).reshape((Bp,) + a.shape[1:-1])
+        a = a[:B]
+        return a.reshape(B, flat) if flat else a.reshape(B)
+
+    zx = unprep(outs[0], N1 * nx).reshape(B, N1, nx)
+    zu = unprep(outs[1], N1 * nu).reshape(B, N1, nu)
+    z = jnp.concatenate([zx, zu], axis=2).reshape(B, N1 * ns)
+    xi = Variable(
+        z=z, l=unprep(outs[2], N1 * nx),
+        v=unprep(outs[3], N1 * nc), y=unprep(outs[4], N1 * nc))
+    Eo = unprep(outs[5], 0)
+    ninfo = unprep(outs[6], 0)
+    lfail = unprep(outs[7], 0) > 0
+    Ek = unprep(outs[8], 0)
+    success = unprep(outs[9], 0) > 0
+    itol = unprep(outs[10], 0)
+    dxn = unprep(outs[11], 0)
+    return xi, Eo, ninfo, lfail, Ek, success, itol, dxn
