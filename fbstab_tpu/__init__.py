@@ -8,6 +8,21 @@ TPU-first: pure-function components over pytrees, fixed-shape lax control
 flow, massive vmap batching, and mesh sharding for multi-chip scale.
 """
 
+import os as _os
+
+# Raise the scoped-VMEM budget for the fused solver kernels BEFORE the
+# TPU client initializes: the runtime snapshots the env at backend init
+# (first jax.devices()), so setting this lazily at ops-module import is
+# too late for scripts that touch devices first — the compile then runs
+# against the 16 MiB default and any kernel with larger scratch (the
+# Riccati Lc factor alone is 17 MiB at nx=18/N=80) fails. Importing
+# fbstab_tpu at all is early enough for normal use; see
+# ops/mpc_solve_pallas.py for the kernel-side rationale.
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=114688"
+if _VMEM_FLAG not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
+    _os.environ["LIBTPU_INIT_ARGS"] = (
+        _os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG).strip()
+
 from fbstab_tpu.core.algorithm import fbstab_solve
 from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.models.dense_qp import (
