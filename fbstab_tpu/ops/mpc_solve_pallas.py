@@ -423,6 +423,22 @@ def _build_ctx(N, nx, nu, nc, opts: Options, lowmem: bool,
     def st_pnr_norm(refs):
         return mater(jnp.sqrt(_staged_sq_sum(_rd_refs(refs), None, False)))
 
+    def st_sel(m, a, b):
+        """NaN-safe per-lane select on a stage slice: expands the (1, B)
+        mask arithmetically (select_n wants matching shapes) then uses a
+        true select, so a NaN in the unchosen operand does not leak."""
+        mf = jnp.zeros_like(a) + m.astype(a.dtype)
+        return jnp.where(mf > 0, a, b)
+
+    def st_pnr_norm_blend(I, K, m):
+        """pnr norm at the per-lane selected state (m ? xi : xk) — the
+        MAXITERATIONS best-of selection's residual (impl.h:188-199).
+        NaN-safe: a failed lane's xi never contaminates the xk branch."""
+        def rd(s):
+            return tuple(st_sel(m, ri_[s], rk_[s])
+                         for ri_, rk_ in zip(I, K))
+        return mater(jnp.sqrt(_staged_sq_sum(rd, None, False)))
+
     def st_inner_norm_store(I, K):
         """|inner_residual(xi; xbar)|, leaving -ri and (v, y, vbar) in
         the Newton-step scratch refs."""
@@ -497,6 +513,100 @@ def _build_ctx(N, nx, nu, nc, opts: Options, lowmem: bool,
         acc = lax.fori_loop(1, Np1, lambda s, a: a + stage(s), acc)
         return mater(jnp.sqrt(acc))
 
+    def st_init_state(K, zx0_ref, zu0_ref, l0_ref, v0_ref):
+        """K <- warmstart with the margin recomputed: y = b - A z
+        (CopyIntoVariable, impl.h:336-347); b = -d."""
+        def body(s, z):
+            zxs = zx0_ref[s]
+            zus = zu0_ref[s]
+            K[0][s] = zxs
+            K[1][s] = zus
+            K[2][s] = l0_ref[s]
+            K[3][s] = v0_ref[s]
+            K[4][s] = (-d_ref[s] - _mvv(E_ref[s], zxs)
+                       - _mvv(L_ref[s], zus))
+            return z
+        lax.fori_loop(0, Np1, body, jnp.int32(0))
+
+    def st_masked_write(z_out, l_out, v_out, y_out, mask, rd):
+        """Masked per-stage write of the state view rd(s) into the
+        output refs (z merges the x/u parts)."""
+        def body(s, z):
+            zxs, zus, ls, vs, ys = rd(s)
+            zval = jnp.concatenate([zxs, zus], axis=0)
+            mz = jnp.zeros_like(zval) + mask.astype(f32)
+            z_out[s] = jnp.where(mz > 0.5, zval, z_out[s])
+            ml = jnp.zeros_like(ls) + mask.astype(f32)
+            l_out[s] = jnp.where(ml > 0.5, ls, l_out[s])
+            mv = jnp.zeros_like(vs) + mask.astype(f32)
+            v_out[s] = jnp.where(mv > 0.5, vs, v_out[s])
+            y_out[s] = jnp.where(mv > 0.5, ys, y_out[s])
+            return z
+        lax.fori_loop(0, Np1, body, jnp.int32(0))
+
+    def st_feasibility(I, K, tol_i):
+        """Staged infeasibility certificates on dx = xi - xk
+        (full_feasibility.cc:29-87; same accumulations as the
+        full-horizon obody block, per stage). Returns (p_inf, d_inf)
+        rows."""
+        def dz(s):
+            return (I[0][s] - K[0][s], I[1][s] - K[1][s],
+                    I[2][s] - K[2][s], I[3][s] - K[3][s])
+
+        def rmax(a):
+            return jnp.max(a, axis=0, keepdims=True)
+
+        def ramax(a):
+            return jnp.max(jnp.abs(a), axis=0, keepdims=True)
+
+        def rsum(a):
+            return jnp.sum(a, axis=0, keepdims=True)
+
+        def stage(s, has_prev, has_next):
+            dzx, dzu, dl, dv = dz(s)
+            Adz = _mvv(E_ref[s], dzx) + _mvv(L_ref[s], dzu)
+            if has_prev:
+                pzx, pzu, _, _ = dz(s - 1)
+                Gdz = (_mvv(A_ref[s - 1], pzx)
+                       + _mvv(B_ref[s - 1], pzu) - dzx)
+            else:
+                Gdz = -dzx
+            Ss = S_ref[s]
+            Hx = _mvv(Q_ref[s], dzx) + _mvv(_mT(Ss), dzu)
+            Hu = _mvv(Ss, dzx) + _mvv(R_ref[s], dzu)
+            ATx = _mvv(_mT(E_ref[s]), dv) - dl
+            ATu = _mvv(_mT(L_ref[s]), dv)
+            if has_next:
+                dln = I[2][s + 1] - K[2][s + 1]
+                ATx = ATx + _mvv(_mT(A_ref[s]), dln)
+                ATu = ATu + _mvv(_mT(B_ref[s]), dln)
+            hhs = -x0_ref[...] if not has_prev else -c_ref[s - 1]
+            return (rmax(Adz), ramax(Gdz),
+                    jnp.maximum(ramax(Hx), ramax(Hu)),
+                    rsum(q_ref[s] * dzx) + rsum(r_ref[s] * dzu),
+                    jnp.maximum(ramax(dzx), ramax(dzu)),
+                    jnp.maximum(ramax(ATx), ramax(ATu)),
+                    rsum(hhs * dl) + rsum(-d_ref[s] * dv),
+                    jnp.maximum(ramax(dv), ramax(dl)))
+
+        def merge(a, b):
+            return (jnp.maximum(a[0], b[0]), jnp.maximum(a[1], b[1]),
+                    jnp.maximum(a[2], b[2]), a[3] + b[3],
+                    jnp.maximum(a[4], b[4]), jnp.maximum(a[5], b[5]),
+                    a[6] + b[6], jnp.maximum(a[7], b[7]))
+
+        acc = stage(0, False, N >= 1)
+        if N >= 2:
+            acc = lax.fori_loop(
+                1, N, lambda s, a: merge(a, stage(s, True, True)), acc)
+        if N >= 1:
+            acc = merge(acc, stage(N, True, False))
+        d1, d2, d3, d4, w, p1, p2, uu = [mater(a) for a in acc]
+        d_inf = ((d1 <= w * tol_i) & (d2 <= tol_i * w)
+                 & (d3 <= tol_i * w) & (d4 < 0) & (w > 1e-14))
+        p_inf = (p1 <= tol_i * uu) & (p2 < 0)
+        return p_inf, d_inf
+
     def st_forcing_norm():
         """sqrt(|f|^2 + |h|^2 + |b|^2): h = -[x0; c], b = -d, so the
         norms read the data refs directly."""
@@ -523,6 +633,11 @@ def _build_ctx(N, nx, nu, nc, opts: Options, lowmem: bool,
         state=state, dstep=dstep, wr_state=wr_state,
         newton_step=newton_step,
         st_pnr_norm=st_pnr_norm,
+        st_sel=st_sel,
+        st_pnr_norm_blend=st_pnr_norm_blend,
+        st_init_state=st_init_state,
+        st_masked_write=st_masked_write,
+        st_feasibility=st_feasibility,
         st_inner_norm_store=st_inner_norm_store,
         st_trial_norm=st_trial_norm,
         st_newton_step=st_newton_step,
@@ -674,10 +789,14 @@ def _solve_subproblem(ctx, opts: Options, I_REFS, K_REFS,
     return Eo, ninfo, lfail
 
 
-def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
+def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False,
+                       staged: bool = False):
     """Builds the full-solve kernel body closure for static dims +
     options. lowmem selects the recompute-factors Riccati mode (large
-    stage dims)."""
+    stage dims); staged selects the per-stage fori_loop math (see
+    _build_ctx) so large stage dims do not blow the register allocator
+    into scoped-VMEM spill slots — the whole algorithm then runs in one
+    kernel even for the CopolymerizationReactor class."""
     Np1 = N + 1
     ns = nx + nu
 
@@ -704,7 +823,7 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             N, nx, nu, nc, opts, lowmem,
             (q_ref, r_ref, c_ref, x0_ref, d_ref,
              Q_ref, R_ref, S_ref, A_ref, B_ref, E_ref, L_ref),
-            step_scr, red_s)
+            step_scr, red_s, staged=staged)
         f32 = ctx.f32
         Bl = ctx.Bl
         X = ctx.X
@@ -716,27 +835,39 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
         bb = ctx.bb
         fx, fu, hh = ctx.fx, ctx.fu, ctx.hh
 
-        forcing = mater(jnp.sqrt(ssum(fx) + ssum(fu) + ssum(hh)
-                        + ssum(bb)))
+        if staged:
+            forcing = ctx.st_forcing_norm()
+        else:
+            forcing = mater(jnp.sqrt(ssum(fx) + ssum(fu) + ssum(hh)
+                            + ssum(bb)))
         combo_tol = opts.abs_tol + opts.rel_tol * (1.0 + forcing)
 
         # ---------- initialization (impl.h:139-149) ----------
-        zx0 = zx0_ref[...].reshape(Np1 * nx, Bl)
-        zu0 = zu0_ref[...].reshape(Np1 * nu, Bl)
-        l0 = l0_ref[...].reshape(Np1 * nx, Bl)
-        v0 = v0_ref[...].reshape(Np1 * nc, Bl)
-        y0 = bb - ctx.gemvA(zx0, zu0)
-        xk0 = X((zx0, zu0, l0, v0, y0))
+        if staged:
+            ctx.st_init_state(
+                K_REFS, zx0_ref, zu0_ref, l0_ref, v0_ref)
+            E0 = ctx.st_pnr_norm(K_REFS)
+            # ssum(ones) is exactly the row count (small-int f32 sums
+            # are exact), so dx0 = ones has a closed-form norm.
+            dxn0 = mater(E0 * 0.0 + float(
+                (Np1 * (2 * nx + nu + nc)) ** 0.5))
+        else:
+            zx0 = zx0_ref[...].reshape(Np1 * nx, Bl)
+            zu0 = zu0_ref[...].reshape(Np1 * nu, Bl)
+            l0 = l0_ref[...].reshape(Np1 * nx, Bl)
+            v0 = v0_ref[...].reshape(Np1 * nc, Bl)
+            y0 = bb - ctx.gemvA(zx0, zu0)
+            xk0 = X((zx0, zu0, l0, v0, y0))
 
-        ones_zx = jnp.ones_like(zx0)
-        ones_zu = jnp.ones_like(zu0)
-        # Only ||dx|| crosses outer iterations (the stall test); the full
-        # step is consumed within its own iteration.
-        dxn0 = mater(jnp.sqrt(
-            ssum(ones_zx) + ssum(ones_zu) + ssum(jnp.ones_like(l0))
-            + ssum(jnp.ones_like(v0))))
+            ones_zx = jnp.ones_like(zx0)
+            ones_zu = jnp.ones_like(zu0)
+            # Only ||dx|| crosses outer iterations (the stall test); the
+            # full step is consumed within its own iteration.
+            dxn0 = mater(jnp.sqrt(
+                ssum(ones_zx) + ssum(ones_zu) + ssum(jnp.ones_like(l0))
+                + ssum(jnp.ones_like(v0))))
 
-        E0 = ctx.rnorm(ctx.pnr(*xk0))
+            E0 = ctx.rnorm(ctx.pnr(*xk0))
         e0_out[...] = E0
         itol0 = jnp.clip(E0, opts.inner_tol_min, opts.inner_tol_max)
 
@@ -763,6 +894,9 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             y_out[...] = jnp.where(
                 mv > 0.5, xval[4].reshape(Np1, nc, Bl), y_out[...])
 
+        def st_write_out(mask, rd):
+            ctx.st_masked_write(z_out, l_out, v_out, y_out, mask, rd)
+
         def ocond(c):
             return c[1] & (c[0] < opts.max_prox_iters)
 
@@ -770,8 +904,11 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             (k, _, dxn, itol, Ek_prev, ninfo, pinfo, done_i, eflag,
              ores) = c
             done = done_i > 0
-            xk = ctx.state(K_REFS)
-            Ek = ctx.rnorm(ctx.pnr(*xk))
+            if staged:
+                Ek = ctx.st_pnr_norm(K_REFS)
+            else:
+                xk = ctx.state(K_REFS)
+                Ek = ctx.rnorm(ctx.pnr(*xk))
             success = (Ek <= combo_tol) | (dxn <= opts.stall_tol)
 
             itol_new = jnp.clip(itol * opts.delta, opts.inner_tol_min, Ek)
@@ -779,23 +916,32 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             active = ~done & ~success
             Eo, ninfo_new, lfail = _solve_subproblem(
                 ctx, opts, I_REFS, K_REFS, itol_new, Ek, ninfo, active)
-            xi = ctx.state(I_REFS)
-            xk = ctx.state(K_REFS)  # re-read: shortens live ranges
+            if not staged:
+                xi = ctx.state(I_REFS)
+                xk = ctx.state(K_REFS)  # re-read: shortens live ranges
 
-            dx_new = X((xi[0] - xk[0], xi[1] - xk[1], xi[2] - xk[2],
-                        xi[3] - xk[3], xi[4] - xk[4] + bb))
-            dxn_new = mater(jnp.sqrt(
-                ssum(dx_new[0]) + ssum(dx_new[1]) + ssum(dx_new[2])
-                + ssum(dx_new[3])))
+                dx_new = X((xi[0] - xk[0], xi[1] - xk[1], xi[2] - xk[2],
+                            xi[3] - xk[3], xi[4] - xk[4] + bb))
+                dxn_new = mater(jnp.sqrt(
+                    ssum(dx_new[0]) + ssum(dx_new[1]) + ssum(dx_new[2])
+                    + ssum(dx_new[3])))
+            else:
+                dxn_new = ctx.st_diff_norm(I_REFS, K_REFS)
             dxn_out = blend(active, dxn_new, dxn)
 
             exhausted = active & (ninfo_new >= opts.max_newton_iters)
             better_xi = Eo < Ek
-            xbud = sel_x(better_xi, xi, xk)
-            res_bud = ctx.rnorm(ctx.pnr(*xbud))
+            if staged:
+                res_bud = ctx.st_pnr_norm_blend(I_REFS, K_REFS, better_xi)
+            else:
+                xbud = sel_x(better_xi, xi, xk)
+                res_bud = ctx.rnorm(ctx.pnr(*xbud))
 
             # Infeasibility detection (full_feasibility.cc:29-87).
-            if opts.check_feasibility:
+            if opts.check_feasibility and staged:
+                p_inf, d_inf = ctx.st_feasibility(
+                    I_REFS, K_REFS, opts.infeas_tol)
+            elif opts.check_feasibility:
                 dzx_, dzu_, dl_, dv_ = (dx_new[0], dx_new[1], dx_new[2],
                                         dx_new[3])
                 d1 = mater(jnp.max(ctx.gemvA(dzx_, dzu_), axis=0,
@@ -845,17 +991,42 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
             # Write exiting instances' outputs now instead of carrying
             # them (saves an extra state copy in the while carry).
             newly = done_new & ~done
-            out_val = sel_x(
-                success & ~done, xk,
-                sel_x(lfail, xk, sel_x(exhausted, xbud, dx_new)))
-            write_out(newly, out_val)
+            if staged:
+                succ_nd = success & ~done
+
+                def rd_out(s):
+                    out = []
+                    for ci in range(5):
+                        a = I_REFS[ci][s]
+                        b = K_REFS[ci][s]
+                        dxc = a - b if ci != 4 else a - b - d_ref[s]
+                        xbudc = ctx.st_sel(better_xi, a, b)
+                        v1 = ctx.st_sel(exhausted, xbudc, dxc)
+                        v2 = ctx.st_sel(lfail, b, v1)
+                        out.append(ctx.st_sel(succ_nd, b, v2))
+                    return tuple(out)
+
+                st_write_out(newly, rd_out)
+            else:
+                out_val = sel_x(
+                    success & ~done, xk,
+                    sel_x(lfail, xk, sel_x(exhausted, xbud, dx_new)))
+                write_out(newly, out_val)
             ores_new = blend(infeas, Ek, ores)
             ores_new = blend(exhausted, res_bud, ores_new)
             ores_new = blend(lfail, Ek, ores_new)
             ores_new = blend(success & ~done, Ek, ores_new)
 
             cont = ~done_new
-            ctx.wr_state(K_REFS, sel_x(cont, xi, xk))  # x(k+1) = xi
+            if staged:
+                # x(k+1) = xi, per stage (NaN-safe select).
+                def adv_body(s, z):
+                    for ri_, rk_ in zip(I_REFS, K_REFS):
+                        rk_[s] = ctx.st_sel(cont, ri_[s], rk_[s])
+                    return z
+                lax.fori_loop(0, Np1, adv_body, jnp.int32(0))
+            else:
+                ctx.wr_state(K_REFS, sel_x(cont, xi, xk))  # x(k+1) = xi
             pinfo_new = pinfo + cont.astype(jnp.int32)
             Ek_keep = blend(done, Ek_prev, Ek)
 
@@ -866,8 +1037,12 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
 
         # Output refs start undefined: initialize with the warmstart so
         # masked exit-writes compose against defined data.
-        ctx.wr_state(K_REFS, xk0)
-        write_out(zero_row < 1.0, xk0)
+        if staged:
+            st_write_out(zero_row < 1.0,
+                         lambda s: tuple(r[s] for r in K_REFS))
+        else:
+            ctx.wr_state(K_REFS, xk0)
+            write_out(zero_row < 1.0, xk0)
 
         init = (i32(0), jnp.bool_(True), dxn0, itol0,
                 E0, zeros_i, zeros_i, zeros_i,
@@ -878,7 +1053,11 @@ def _make_solve_kernel(N, nx, nu, nc, opts: Options, lowmem: bool = False):
         done_f = done_fi > 0
 
         # Prox budget exhausted (impl.h:219-223): xk with last Ek.
-        write_out(~done_f, ctx.state(K_REFS))
+        if staged:
+            st_write_out(~done_f,
+                         lambda s: tuple(r[s] for r in K_REFS))
+        else:
+            write_out(~done_f, ctx.state(K_REFS))
         out_res = blend(done_f, ores_f, Ek_f)
         eflag_fin = blend(done_f, eflag_f,
                           jnp.zeros((1, Bl), i32)
@@ -935,10 +1114,11 @@ def _state_scratch_shapes(N, nx, nu, nc, tile_b, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("options", "interpret", "tile_b", "lowmem"))
+    jax.jit,
+    static_argnames=("options", "interpret", "tile_b", "lowmem", "staged"))
 def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
                            interpret: bool = False, tile_b: int = TILE_B,
-                           lowmem: bool = False):
+                           lowmem: bool = False, staged: bool = False):
     """Batched MPC solve through the fused kernel.
 
     data: MpcQPData (batch-first leaves); z0/l0/v0: (B, nz/nl/nv).
@@ -951,7 +1131,11 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
     mode (bit-identical results, ~18 MB less VMEM per 128-lane tile at
     nx=18/N=80) so large stage dimensions fit; there the doubled input
     windows would not fit (cf. riccati_pallas), so tiles go through a
-    serial lax.map with whole-array windows instead.
+    serial lax.map with whole-array windows instead. staged selects the
+    per-stage fori_loop kernel math (see _build_ctx) — required at large
+    stage dims where full-horizon intermediates blow the register
+    allocator into scoped-VMEM spill slots; it shares the serial
+    lax.map tile launch.
     """
     opts = options.validated()
     B = z0.shape[0]
@@ -961,6 +1145,7 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
     nc = data.E.shape[-2]
     N1, ns = N + 1, nx + nu
     dtype = z0.dtype
+    serial = lowmem or staged
 
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
     pad = Bp - B
@@ -971,7 +1156,7 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         if pad:
             a = jnp.concatenate(
                 [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
-        if lowmem:
+        if serial:
             # (Bp, *shape) -> (T, *shape, tile_b): serial lax.map tiles.
             a = a.reshape((T, tile_b) + shape)
             return jnp.moveaxis(a, 1, -1)
@@ -994,7 +1179,8 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
         prep(l0, (N1, nx)), prep(v0, (N1, nc)),
     )
 
-    kernel = _make_solve_kernel(N, nx, nu, nc, opts, lowmem=lowmem)
+    kernel = _make_solve_kernel(N, nx, nu, nc, opts, lowmem=lowmem,
+                                staged=staged)
     in_shapes = (
         (N1, nx), (N1, nu), (N, nx), (nx,), (N1, nc),
         (N1, nx, nx), (N1, nu, nu), (N1, nu, nx),
@@ -1010,7 +1196,7 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
     scratch += _state_scratch_shapes(N, nx, nu, nc, tile_b, dtype)  # xi
     scratch += [pltpu.VMEM((1, tile_b), dtype)]    # red_s (see mater)
 
-    if lowmem:
+    if serial:
         vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         out_shape = tuple(
             jax.ShapeDtypeStruct(s + (tile_b,), dt)
