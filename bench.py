@@ -29,6 +29,16 @@ if _VMEM_FLAG not in os.environ.get("LIBTPU_INIT_ARGS", ""):
 BASELINE_QPS = 10_000.0
 
 
+def _jit(f):
+    """Top-level jit carrying the scoped-VMEM compile option: remote-
+    compile tunnels drop the LIBTPU_INIT_ARGS env var above, so the
+    budget must also ride the per-compile proto (utils/compile.py)."""
+    import jax
+
+    from fbstab_tpu.utils.compile import tpu_compiler_options
+    return jax.jit(f, compiler_options=tpu_compiler_options())
+
+
 def build_batch(B: int, N: int, nx: int, nu: int, nc: int, dtype):
     """B input-box-constrained OCP instances: shared stable plant, varied
     initial states and cost offsets (scenario-MPC shape)."""
@@ -108,7 +118,7 @@ def run_dense(B=None):
     dtype = jnp.float32
     opts = Options.single_precision()
     args = build_dense_batch(B, 32, 64, dtype)
-    fn = jax.jit(lambda d, z, l, v: solve_dense_qp_batch(d, z, l, v, opts))
+    fn = _jit(lambda d, z, l, v: solve_dense_qp_batch(d, z, l, v, opts))
     data, z0, l0, v0 = args
     x, core = fn(data, z0, l0, v0)
     success = float(np.mean(np.asarray(core.eflag) == 0))
@@ -185,8 +195,8 @@ def run_refine(B=None, steps=3):
     opts = Options.single_precision()
     data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
 
-    fs = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
-    fr = jax.jit(lambda d, x: refine_mpc_batch(d, x, opts, steps=steps))
+    fs = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    fr = _jit(lambda d, x: refine_mpc_batch(d, x, opts, steps=steps))
     x, core = fs(data, z0, l0, v0)
     np.asarray(core.residual)
     refined, hist = fr(data, x)
@@ -252,7 +262,7 @@ def run_copoly(B=None):
     l0 = jnp.zeros((B, nl), dtype)
     v0 = jnp.zeros((B, nv), dtype)
 
-    fn = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    fn = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
     x, core = fn(batch, z0, l0, v0)
     np.asarray(core.residual)
     success = float(np.mean(np.asarray(core.eflag) == 0))
@@ -303,7 +313,7 @@ def run_longhorizon(N=None):
 
     lat = {}
     for mode in ("scan", "assoc"):
-        fn = jax.jit(lambda d, z, l, v, m=mode: solve_mpc_qp(
+        fn = _jit(lambda d, z, l, v, m=mode: solve_mpc_qp(
             d, z, l, v, opts, riccati=m))
         x, core = fn(data, z0, l0, v0)
         np.asarray(core.residual)
@@ -353,7 +363,7 @@ def run_sharded(B=None):
     opts = Options.single_precision()
     data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
 
-    direct = jax.jit(
+    direct = _jit(
         lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
     mesh = make_mesh(jax.devices()[:1])
     interp = platform == "cpu"
@@ -407,7 +417,7 @@ def run_adaptive(B=None):
     opts = Options.single_precision()
     data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
 
-    one = jax.jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    one = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
     x, core = one(data, z0, l0, v0)
     np.asarray(core.residual)
 
@@ -465,7 +475,7 @@ def run_warmstart(B=None, steps=8):
     shared = jax.tree.map(lambda a: a[0], dataB)   # shared plant/cost
     x0s = dataB.x0
 
-    fn = jax.jit(lambda d, x0: simulate_batch(d, steps, x0, opts))
+    fn = _jit(lambda d, x0: simulate_batch(d, steps, x0, opts))
     res = fn(shared, x0s)                          # compile + warm
     np.asarray(res.residual)
 
@@ -511,7 +521,7 @@ def main():
     data, z0, l0, v0 = args
 
     def compile_and_warm():
-        f = jax.jit(
+        f = _jit(
             lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
         xx, cc = f(data, z0, l0, v0)
         np.asarray(cc.residual)

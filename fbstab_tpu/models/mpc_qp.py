@@ -970,8 +970,10 @@ class FBstabMpc:
     def _get_compiled(self):
         if self._compiled is None:
             opts = self._options
+            from fbstab_tpu.utils.compile import tpu_compiler_options
             self._compiled = jax.jit(
-                lambda d, z, l, v: fbstab_solve(MPC_OPS, d, z, l, v, opts))
+                lambda d, z, l, v: fbstab_solve(MPC_OPS, d, z, l, v, opts),
+                compiler_options=tpu_compiler_options())
         return self._compiled
 
     def solve(self, data: MpcQPData, x0: Optional[Variable] = None

@@ -31,7 +31,6 @@ against the XLA path (tests/test_subfused.py).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +43,7 @@ from fbstab_tpu.core.residuals import penalized_natural_residual, \
 from fbstab_tpu.core.variable import Variable, var_norm
 from fbstab_tpu.options import Options
 from fbstab_tpu.solver_out import ExitFlag
+from fbstab_tpu.utils.compile import vmem_jit
 
 
 def _bsel(pred, a, b):
@@ -57,8 +57,7 @@ def _bsel_tree(pred, a, b):
     return jax.tree.map(lambda x, y: _bsel(pred, x, y), a, b)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("options", "interpret", "tile_b", "lowmem"))
+@vmem_jit(static_argnames=("options", "interpret", "tile_b", "lowmem"))
 def fbstab_mpc_solve_subfused(data, z0, l0, v0, options: Options,
                               interpret: bool = False, tile_b: int = 128,
                               lowmem: bool = False):

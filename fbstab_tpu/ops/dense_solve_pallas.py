@@ -19,7 +19,6 @@ W = Le^{-1} G' (reference: dense_cholesky_solver.cc:32-127).
 
 from __future__ import annotations
 
-import functools
 import os
 
 _VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
@@ -37,6 +36,7 @@ from fbstab_tpu.core.algorithm import NONMONOTONE_DEPTH, CoreOut
 from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.options import Options
 from fbstab_tpu.ops.pfb import pfb
+from fbstab_tpu.utils.compile import vmem_jit
 from fbstab_tpu.ops.riccati_pallas import (
     _chol,
     _mm,
@@ -415,8 +415,8 @@ def _make_dense_kernel(n, q, nl, opts: Options):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("options", "interpret", "tile_b"))
+@vmem_jit(static_argnames=("options", "interpret", "tile_b"),
+          limit_kib=65536)
 def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
                              interpret: bool = False,
                              tile_b: int = TILE_B):

@@ -49,7 +49,6 @@ Mosaic cannot reduce over.
 
 from __future__ import annotations
 
-import functools
 import os
 import types
 
@@ -81,6 +80,7 @@ from fbstab_tpu.ops.riccati_pallas import (
     riccati_factor_solve,
 )
 from fbstab_tpu.solver_out import ExitFlag
+from fbstab_tpu.utils.compile import vmem_jit
 
 TILE_B = 128
 
@@ -1113,8 +1113,7 @@ def _state_scratch_shapes(N, nx, nu, nc, tile_b, dtype):
     ]
 
 
-@functools.partial(
-    jax.jit,
+@vmem_jit(
     static_argnames=("options", "interpret", "tile_b", "lowmem", "staged"))
 def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
                            interpret: bool = False, tile_b: int = TILE_B,

@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fbstab_tpu.ops.pfb import ZERO_TOLERANCE
+from fbstab_tpu.utils.compile import vmem_jit
 
 TILE_B = 128
 
@@ -400,8 +401,7 @@ def _from_bl(a):
     return jnp.moveaxis(a, -1, 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("alpha", "interpret", "tile_b", "lowmem"))
+@vmem_jit(static_argnames=("alpha", "interpret", "tile_b", "lowmem"))
 def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
                                 alpha: float, interpret: bool = False,
                                 tile_b: int = TILE_B,

@@ -31,6 +31,7 @@ from fbstab_tpu.core.algorithm import fbstab_solve
 from fbstab_tpu.models.dense_qp import DENSE_OPS
 from fbstab_tpu.models.mpc_qp import MPC_OPS
 from fbstab_tpu.options import Options
+from fbstab_tpu.utils.compile import tpu_compiler_options
 
 BATCH_AXIS = "batch"
 
@@ -102,7 +103,8 @@ def _make_sharded_solver(ops, mesh: Mesh, options: Options,
     out_shardings = (spec, spec) + (
         (NamedSharding(mesh, PartitionSpec()),) if with_stats else ())
     return jax.jit(solve, in_shardings=(spec,) * 4,
-                   out_shardings=out_shardings[:n_out])
+                   out_shardings=out_shardings[:n_out],
+                   compiler_options=tpu_compiler_options())
 
 
 def sharded_dense_solver(mesh: Mesh, options: Options = Options(),
@@ -172,4 +174,6 @@ def sharded_mpc_solver_fused(mesh: Mesh, options: Options = Options(),
             return x, core, batch_stats(core)
         return x, core
 
-    return jax.jit(solve)
+    # The fused kernel inside needs the raised scoped-VMEM budget; this
+    # jit is the top-level compile, so the option rides here.
+    return jax.jit(solve, compiler_options=tpu_compiler_options())
