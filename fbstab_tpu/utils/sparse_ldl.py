@@ -11,10 +11,12 @@ tree + column counts) at construction for a fixed upper-triangular CSC
 sparsity pattern, `factor(Ax)` for each new set of numeric values, and an
 in-place `solve(b)`. The factorization is the classic up-looking sparse
 LDL' (Davis, "Direct Methods for Sparse Linear Systems", Algorithm 8.1 /
-the LDL package algorithm), implemented in NumPy on the host — sparse
-triangular elimination is pointer-chasing, which is CPU work; batched
-*dense* factorizations are what run on the TPU (ops/smallchol.py,
-ops/riccati_pallas.py).
+the LDL package algorithm), implemented twice behind one class: a native
+C kernel (fbstab_tpu/native/sparse_ldl.c via utils/native_ldl.py — the
+same C-hot-loop/thin-wrapper split as the reference's QDLDL dependency)
+and a pure-NumPy fallback. Sparse triangular elimination is
+pointer-chasing, which is CPU work; batched *dense* factorizations are
+what run on the TPU (ops/smallchol.py, ops/riccati_pallas.py).
 
 A is symmetric quasi-definite, with ONLY the upper triangle stored in CSC
 (column pointers Ap, row indices Ai, values Ax), diagonal included.
@@ -24,16 +26,32 @@ from __future__ import annotations
 
 import numpy as np
 
+from fbstab_tpu.utils import native_ldl
+
 
 class SparseLDL:
-    """Up-looking LDL' of a fixed upper-triangular CSC pattern."""
+    """Up-looking LDL' of a fixed upper-triangular CSC pattern.
 
-    def __init__(self, n: int, Ap, Ai):
+    ``backend``: "native" (C kernel; raises if no C compiler is
+    available), "python" (pure NumPy), or "auto" (native when it loads,
+    NumPy otherwise). Both backends produce identical factors and obey
+    the same error contract.
+    """
+
+    def __init__(self, n: int, Ap, Ai, backend: str = "auto"):
         self.n = int(n)
         self.Ap = np.asarray(Ap, np.int64)
         self.Ai = np.asarray(Ai, np.int64)
         if self.Ap.shape != (self.n + 1,):
             raise ValueError("Ap must have length n+1.")
+        if backend not in ("auto", "native", "python"):
+            raise ValueError(f"Unknown backend {backend!r}.")
+        if backend == "native" and not native_ldl.available():
+            raise RuntimeError(
+                "backend='native' requested but no C compiler is "
+                "available to build fbstab_tpu/native/sparse_ldl.c.")
+        self._native = backend != "python" and native_ldl.available()
+        self.backend = "native" if self._native else "python"
         for j in range(self.n):
             rows = self.Ai[self.Ap[j]:self.Ap[j + 1]]
             if rows.size == 0 or rows[-1] != j:
@@ -44,21 +62,25 @@ class SparseLDL:
         # Symbolic analysis: elimination tree + column counts of L
         # (the role of QDLDL_etree, qdldl_wrapper.h:24-45).
         n_ = self.n
-        parent = np.full(n_, -1, np.int64)
-        flag = np.full(n_, -1, np.int64)
-        Lnz = np.zeros(n_, np.int64)
-        for k in range(n_):
-            flag[k] = k
-            for p in range(self.Ap[k], self.Ap[k + 1]):
-                i = self.Ai[p]
-                if i >= k:
-                    continue
-                while flag[i] != k:
-                    if parent[i] == -1:
-                        parent[i] = k
-                    Lnz[i] += 1
-                    flag[i] = k
-                    i = parent[i]
+        if self._native:
+            parent, Lnz, _ = native_ldl.etree(n_, self.Ap, self.Ai)
+            self._ws = native_ldl._Workspace(n_)
+        else:
+            parent = np.full(n_, -1, np.int64)
+            flag = np.full(n_, -1, np.int64)
+            Lnz = np.zeros(n_, np.int64)
+            for k in range(n_):
+                flag[k] = k
+                for p in range(self.Ap[k], self.Ap[k + 1]):
+                    i = self.Ai[p]
+                    if i >= k:
+                        continue
+                    while flag[i] != k:
+                        if parent[i] == -1:
+                            parent[i] = k
+                        Lnz[i] += 1
+                        flag[i] = k
+                        i = parent[i]
         self.parent = parent
         self.nnz = int(Lnz.sum())
         self._Lnz_sym = Lnz
@@ -73,7 +95,13 @@ class SparseLDL:
     def factor(self, Ax) -> None:
         """Numeric factorization A = L D L' for values Ax matching the
         analyzed pattern (the role of QdldlWrapper::Factor)."""
-        Ax = np.asarray(Ax, float)
+        Ax = np.ascontiguousarray(Ax, float)
+        if self._native:
+            native_ldl.factor(self.n, self.Ap, self.Ai, Ax, self.parent,
+                              self.Lp, self.Li, self.Lx, self.D,
+                              self.Dinv, self._ws)
+            self._factored = True
+            return
         n, Ap, Ai, parent = self.n, self.Ap, self.Ai, self.parent
         Lp, Li, Lx, D = self.Lp, self.Li, self.Lx, self.D
         Y = np.zeros(n, float)
@@ -121,7 +149,7 @@ class SparseLDL:
                 raise ZeroDivisionError(
                     f"Zero pivot at column {k}: matrix is not "
                     "quasi-definite with this ordering.")
-        self.Dinv[:] = 1.0 / D
+            self.Dinv[k] = 1.0 / D[k]
         self._factored = True
 
     def solve(self, x: np.ndarray) -> None:
@@ -129,6 +157,13 @@ class SparseLDL:
         QdldlWrapper::Solve, qdldl_wrapper.h:57-61)."""
         if not self._factored:
             raise RuntimeError("factor() must be called before solve().")
+        if self._native:
+            if not (isinstance(x, np.ndarray) and x.dtype == np.float64
+                    and x.flags.c_contiguous):
+                raise ValueError("solve() needs a contiguous float64 array.")
+            native_ldl.solve(self.n, self.Lp, self.Li, self.Lx,
+                             self.Dinv, x)
+            return
         n, Lp, Li, Lx = self.n, self.Lp, self.Li, self.Lx
         # L y = b (unit lower triangular, stored by columns)
         for j in range(n):
@@ -142,3 +177,29 @@ class SparseLDL:
             for p in range(Lp[j], Lp[j + 1]):
                 acc += Lx[p] * x[Li[p]]
             x[j] -= acc
+
+    def factor_solve_batch(self, AxB: np.ndarray, xB: np.ndarray) -> int:
+        """Factor+solve a batch of systems sharing this pattern: AxB is
+        (batch, nnz(A)) values, xB (batch, n) right-hand sides solved in
+        place. Returns 0, or the 1-based column of the first zero pivot
+        (that instance's rhs is left untouched). One native call for the
+        whole batch — the shape a sparse QP path would feed (one KKT
+        system per instance)."""
+        AxB = np.ascontiguousarray(AxB, float)
+        if xB.dtype != np.float64 or not xB.flags.c_contiguous:
+            raise ValueError("xB must be a contiguous float64 array.")
+        if self._native:
+            return native_ldl.factor_solve_batch(
+                self.n, self.Ap, self.Ai, AxB, self.parent, self.Lp,
+                self.Li, self.Lx, self.D, self.Dinv, self._ws, xB)
+        first_bad = 0
+        for b in range(AxB.shape[0]):
+            try:
+                self.factor(AxB[b])
+            except ZeroDivisionError:
+                bad_col = 1 + int(np.flatnonzero(self.D == 0.0)[0])
+                if first_bad == 0:
+                    first_bad = bad_col
+                continue
+            self.solve(xB[b])
+        return first_bad
