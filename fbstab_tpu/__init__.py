@@ -46,6 +46,15 @@ from fbstab_tpu.models.refine import (
     refine_dense_batch,
     refine_mpc_batch,
 )
+from fbstab_tpu.models.sparse_qp import (
+    FBstabSparse,
+    SparsePattern,
+    SparseQPData,
+    pattern_values,
+    solve_sparse_qp,
+    solve_sparse_qp_batch,
+    sparse_qp_data,
+)
 from fbstab_tpu.options import Display, Options
 from fbstab_tpu.solver_out import ExitFlag, SolverOut
 
@@ -58,19 +67,26 @@ __all__ = [
     "ExitFlag",
     "FBstabDense",
     "FBstabMpc",
+    "FBstabSparse",
     "MPC_OPS",
     "MpcQPData",
     "Options",
     "SolverOut",
+    "SparsePattern",
+    "SparseQPData",
     "Variable",
     "VariableDF",
     "dense_qp_data",
     "fbstab_solve",
     "mpc_qp_data",
+    "pattern_values",
     "refine_dense_batch",
     "refine_mpc_batch",
     "solve_dense_qp",
     "solve_dense_qp_batch",
     "solve_mpc_qp",
     "solve_mpc_qp_batch",
+    "solve_sparse_qp",
+    "solve_sparse_qp_batch",
+    "sparse_qp_data",
 ]
