@@ -495,6 +495,78 @@ def run_warmstart(B=None, steps=8):
     }))
 
 
+def run_sparse(B=None, nz=400, nl=40, nv=200):
+    """Secondary benchmark (python bench.py sparse): batched sparse QPs
+    through the host-hybrid FBstabSparse path (native C LDL' + RCM) vs
+    the dense path on the same problems. Host CPU work by design — runs
+    on the CPU backend regardless of the ambient platform."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.dense_qp import dense_qp_data, solve_dense_qp
+    from fbstab_tpu.models.sparse_qp import solve_sparse_qp, sparse_qp_data
+    from fbstab_tpu.options import Options
+
+    if B is None:
+        B = 32
+    rng = np.random.default_rng(0)
+    # Banded Hessian + sparse coupling rows: the structure class the
+    # sparse path exists for (unstructured large sparse QPs).
+    H = np.zeros((nz, nz))
+    for i in range(nz):
+        H[i, i] = 2.0 + rng.random()
+        if i + 1 < nz:
+            H[i, i + 1] = H[i + 1, i] = -0.5
+    G = np.zeros((nl, nz))
+    for j in range(nl):
+        G[j, rng.choice(nz, 4, replace=False)] = rng.standard_normal(4)
+    A = np.zeros((nv, nz))
+    for j in range(nv):
+        A[j, rng.choice(nz, 3, replace=False)] = rng.standard_normal(3)
+    f0 = rng.standard_normal(nz)
+    h0 = rng.standard_normal(nl) * 0.1
+    b0 = np.abs(rng.standard_normal(nv)) + 1.0
+    opts = Options(abs_tol=1e-8)
+    z0, l0, v0 = jnp.zeros(nz), jnp.zeros(nl), jnp.zeros(nv)
+
+    pat, d0 = sparse_qp_data(H, f0, G, h0, A, b0)
+    fs = jax.jit(lambda d, z, l, v: solve_sparse_qp(pat, d, z, l, v, opts))
+    x, core = fs(d0, z0, l0, v0)
+    np.asarray(core.residual)
+    t0 = time.perf_counter()
+    nf = 0
+    for i in range(B):
+        di = d0._replace(f=d0.f * (1.0 + 1e-4 * i))
+        x, core = fs(di, z0, l0, v0)
+        nf += int(np.asarray(core.eflag) != 0)
+    t_sparse = time.perf_counter() - t0
+
+    dd = dense_qp_data(H, f0, G, h0, A, b0)
+    fd = jax.jit(lambda d, z, l, v: solve_dense_qp(d, z, l, v, opts))
+    x, core = fd(dd, z0, l0, v0)
+    np.asarray(core.residual)
+    t0 = time.perf_counter()
+    for i in range(B):
+        di = dd._replace(f=dd.f * (1.0 + 1e-4 * i))
+        x, core = fd(di, z0, l0, v0)
+        np.asarray(core.residual)
+    t_dense = time.perf_counter() - t0
+
+    qps = B / t_sparse
+    print(f"bench[sparse]: nz={nz} nl={nl} nv={nv} lnnz={pat.lnnz} B={B} "
+          f"fails={nf} sparse={t_sparse:.2f}s dense={t_dense:.2f}s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "sparse_qps_host",
+        "value": round(qps, 1),
+        "unit": "QPs/s",
+        "vs_baseline": round(t_dense / t_sparse, 3),
+    }))
+
+
 def main():
     import os
 
@@ -584,5 +656,7 @@ if __name__ == "__main__":
         run_copoly()
     elif len(sys.argv) > 1 and sys.argv[1] == "longhorizon":
         run_longhorizon()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sparse":
+        run_sparse()
     else:
         main()
