@@ -230,6 +230,33 @@ def test_orderings_agree():
                                atol=1e-8)
 
 
+def test_mpc_benchmark_through_sparse_path():
+    """Cross-solver validation: the double-integrator MPC benchmark
+    (reference OcpGenerator problem) materialized into its sparse
+    block-banded form and solved by FBstabSparse must match the Riccati
+    path's solution to 1e-7. MPC KKT systems are exactly the structured
+    sparse class the reference's planned FBstabSparse targets."""
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp
+    from fbstab_tpu.models.ocp_fixtures import double_integrator
+    from tests.test_mpc_solve import materialize
+
+    md, _ = double_integrator(10, dtype=jnp.float64)
+    H, f, G, h, A, b = materialize(md)
+    nz, nl, nv = H.shape[0], G.shape[0], A.shape[0]
+
+    xr, cr = solve_mpc_qp(md, jnp.zeros(nz), jnp.zeros(nl), jnp.zeros(nv),
+                          _options())
+    pat, ds = sparse_qp_data(H, f, G, h, A, b)
+    xs, cs = _solve(pat, ds)
+    assert int(cr.eflag) == int(cs.eflag) == ExitFlag.SUCCESS
+    np.testing.assert_allclose(np.asarray(xr.z), np.asarray(xs.z),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(xr.v), np.asarray(xs.v),
+                               atol=1e-7)
+    # The block-banded KKT pattern should factor with modest fill.
+    assert pat.lnnz < 0.2 * (pat.n * (pat.n + 1)) // 2
+
+
 def test_nan_data_fails_cleanly():
     """NaN in H must surface as a non-SUCCESS flag, not a crash or a
     silent NaN solution marked SUCCESS."""
