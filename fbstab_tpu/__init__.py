@@ -25,6 +25,12 @@ if _VMEM_FLAG not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
 
 from fbstab_tpu.core.algorithm import fbstab_solve
 from fbstab_tpu.core.variable import Variable
+from fbstab_tpu.diff import (
+    make_differentiable_solver,
+    solve_dense_qp_diff,
+    solve_mpc_qp_diff,
+    solve_sparse_qp_diff,
+)
 from fbstab_tpu.models.dense_qp import (
     DENSE_OPS,
     DenseQPData,
@@ -78,15 +84,19 @@ __all__ = [
     "VariableDF",
     "dense_qp_data",
     "fbstab_solve",
+    "make_differentiable_solver",
     "mpc_qp_data",
     "pattern_values",
     "refine_dense_batch",
     "refine_mpc_batch",
     "solve_dense_qp",
     "solve_dense_qp_batch",
+    "solve_dense_qp_diff",
     "solve_mpc_qp",
     "solve_mpc_qp_batch",
+    "solve_mpc_qp_diff",
     "solve_sparse_qp",
     "solve_sparse_qp_batch",
+    "solve_sparse_qp_diff",
     "sparse_qp_data",
 ]

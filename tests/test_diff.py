@@ -1,0 +1,178 @@
+"""Differentiable QP solving (fbstab_tpu/diff.py): implicit-function
+gradients checked against central finite differences on strictly
+complementary problems, across all three QP classes, plus composition
+with jit/vmap and degeneracy NaN-safety.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fbstab_tpu import Options, dense_qp_data, sparse_qp_data
+from fbstab_tpu.diff import (
+    solve_dense_qp_diff,
+    solve_mpc_qp_diff,
+    solve_sparse_qp_diff,
+)
+
+OPTS = Options(abs_tol=1e-11)
+EPS = 1e-6
+
+
+def _dense_problem(seed=0, nz=5, nl=2, nv=4):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((nz, nz))
+    H = M @ M.T + 0.5 * np.eye(nz)
+    f = rng.standard_normal(nz)
+    G = rng.standard_normal((nl, nz))
+    h = rng.standard_normal(nl) * 0.2
+    A = rng.standard_normal((nv, nz))
+    b = rng.standard_normal(nv) * 0.5 + 1.0
+    return H, f, G, h, A, b
+
+
+def _fd_check(loss, data, fields, rng, probes=3, rtol=5e-4):
+    """Central-difference check of jax.grad(loss)(data) on random
+    entries of the given pytree fields."""
+    g = jax.grad(loss)(data)
+    for field in fields:
+        arr = np.array(getattr(data, field))
+        ga = np.asarray(getattr(g, field))
+        assert np.all(np.isfinite(ga)), f"non-finite grad in {field}"
+        for _ in range(probes):
+            idx = tuple(rng.integers(0, s) for s in arr.shape)
+
+            def bump(s):
+                a2 = arr.copy()
+                a2[idx] += s
+                return data._replace(**{field: jnp.asarray(a2)})
+
+            fdv = (float(loss(bump(EPS))) - float(loss(bump(-EPS)))) \
+                / (2 * EPS)
+            av = float(ga[idx])
+            # FD noise floor: the solve is accurate to ~abs_tol, so the
+            # difference quotient carries ~abs_tol/EPS absolute noise.
+            adiff = abs(av - fdv)
+            err = adiff / max(1e-6, abs(av), abs(fdv))
+            assert err < rtol or adiff < 1e-4, (
+                f"grad mismatch {field}{idx}: ad={av} fd={fdv} rel={err}")
+
+
+def test_dense_gradients_match_finite_differences():
+    H, f, G, h, A, b = _dense_problem()
+    data = dense_qp_data(H, f, G, h, A, b)
+    nz, nl, nv = 5, 2, 4
+    z0, l0, v0 = jnp.zeros(nz), jnp.zeros(nl), jnp.zeros(nv)
+
+    @jax.jit
+    def loss(d):
+        z, l, v = solve_dense_qp_diff(d, z0, l0, v0, OPTS)
+        return (0.5 * jnp.sum(z**2) + jnp.sum(l)
+                + jnp.sum(v * jnp.arange(1.0, nv + 1)))
+
+    _fd_check(loss, data, ("H", "f", "G", "h", "A", "b"),
+              np.random.default_rng(1))
+
+
+def test_inactive_constraints_have_zero_gradient():
+    """Rows of (A, b) that are strictly inactive at the solution cannot
+    influence it: their gradients must be exactly zero."""
+    H, f, G, h, A, b = _dense_problem()
+    data = dense_qp_data(H, f, G, h, A, b)
+    z0, l0, v0 = jnp.zeros(5), jnp.zeros(2), jnp.zeros(4)
+
+    from fbstab_tpu import solve_dense_qp
+    x, core = solve_dense_qp(data, z0, l0, v0, OPTS)
+    inactive = np.asarray(x.y) > 1e-6
+
+    def loss(d):
+        z, l, v = solve_dense_qp_diff(d, z0, l0, v0, OPTS)
+        return 0.5 * jnp.sum(z**2)
+
+    g = jax.grad(loss)(data)
+    assert np.all(np.abs(np.asarray(g.b)[inactive]) < 1e-9)
+    assert np.all(np.abs(np.asarray(g.A)[inactive, :]) < 1e-9)
+
+
+def test_mpc_gradients_match_finite_differences():
+    """Differentiable MPC: gradients w.r.t. stage costs, dynamics,
+    constraints, and the initial state on a random strictly convex OCP
+    (interior fixture — the benchmark plants sit exactly on feasibility
+    boundaries where FD is undefined)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests.test_mpc_solve import random_mpc
+
+    N, nx, nu, nc = 4, 3, 2, 4
+    data = random_mpc(jax.random.key(7), N=N, nx=nx, nu=nu, nc=nc)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    z0, l0, v0 = jnp.zeros(nz), jnp.zeros(nl), jnp.zeros(nv)
+
+    @jax.jit
+    def loss(d):
+        z, l, v = solve_mpc_qp_diff(d, z0, l0, v0, OPTS)
+        return 0.5 * jnp.sum(z**2) + 0.1 * jnp.sum(l)
+
+    _fd_check(loss, data,
+              ("Q", "R", "S", "q", "r", "x0", "A", "B", "c", "E", "L", "d"),
+              np.random.default_rng(2), probes=2)
+
+
+def test_sparse_gradients_match_finite_differences():
+    H, f, G, h, A, b = _dense_problem(seed=3)
+    # Sparsify off-diagonals, keep symmetry + the diagonal.
+    H = np.where((np.abs(H) < 0.3) & ~np.eye(5, dtype=bool), 0.0, H)
+    A = np.where(np.abs(A) < 0.2, 0.0, A)
+    pat, data = sparse_qp_data(H, f, G, h, A, b)
+    z0, l0, v0 = jnp.zeros(5), jnp.zeros(2), jnp.zeros(4)
+
+    @jax.jit
+    def loss(d):
+        z, l, v = solve_sparse_qp_diff(pat, d, z0, l0, v0, OPTS)
+        return 0.5 * jnp.sum(z**2) + jnp.sum(l)
+
+    _fd_check(loss, data, ("Hx", "f", "Gx", "h", "Ax", "b"),
+              np.random.default_rng(4))
+
+
+def test_grad_through_vmap():
+    """vmap(grad(loss)) over a batch of dense QPs: per-instance
+    gradients equal the single-instance ones."""
+    H, f, G, h, A, b = _dense_problem()
+    data = dense_qp_data(H, f, G, h, A, b)
+    z0, l0, v0 = jnp.zeros(5), jnp.zeros(2), jnp.zeros(4)
+
+    def loss(d):
+        z, l, v = solve_dense_qp_diff(d, z0, l0, v0, OPTS)
+        return 0.5 * jnp.sum(z**2)
+
+    B = 3
+    dB = jax.tree.map(lambda a: jnp.stack([a] * B), data)
+    dB = dB._replace(f=dB.f * jnp.asarray([1.0, 1.1, 0.9])[:, None])
+    gB = jax.jit(jax.vmap(jax.grad(loss)))(dB)
+    g1 = jax.grad(loss)(jax.tree.map(lambda a: a[0], dB))
+    np.testing.assert_allclose(np.asarray(gB.f[0]), np.asarray(g1.f),
+                               atol=1e-10)
+    # Different f scaling => different gradients per lane.
+    assert not np.allclose(np.asarray(gB.f[0]), np.asarray(gB.f[1]))
+
+
+def test_degenerate_fixture_gradients_finite():
+    """At dual-degenerate / boundary fixtures (the double integrator sits
+    exactly on its feasibility boundary) the gradient is a subgradient —
+    it must be FINITE (the guarded PFB C-differential), never NaN."""
+    from fbstab_tpu.models.mpc_qp import mpc_dims
+    from fbstab_tpu.models.ocp_fixtures import double_integrator
+
+    data, _ = double_integrator(8, dtype=jnp.float64)
+    N, nx, nu, nc = mpc_dims(data)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    z0, l0, v0 = jnp.zeros(nz), jnp.zeros(nl), jnp.zeros(nv)
+
+    def loss(d):
+        z, l, v = solve_mpc_qp_diff(d, z0, l0, v0, OPTS)
+        return 0.5 * jnp.sum(z**2)
+
+    g = jax.grad(loss)(data)
+    for leaf in jax.tree.leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
