@@ -567,6 +567,59 @@ def run_sparse(B=None, nz=400, nl=40, nv=200):
     }))
 
 
+def run_diff(B=None):
+    """Secondary benchmark (python bench.py diff): differentiable-MPC
+    backward-pass cost — vmap(grad) of a scalar loss of the MPC solution
+    w.r.t. all stage data, relative to the forward batched solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.diff import solve_mpc_qp_diff
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.options import Options
+
+    platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    if B is None:
+        B = 64 if on_cpu else 1024
+    N, nx, nu, nc = 30, 8, 3, 6
+    dtype = jnp.float32 if not on_cpu else jnp.float64
+    opts = Options.single_precision() if not on_cpu else Options()
+    data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
+
+    def loss(d, z, l, v):
+        zz, ll, vv = solve_mpc_qp_diff(d, z, l, v, opts)
+        return 0.5 * jnp.sum(zz**2)
+
+    fwd = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    bwd = _jit(jax.vmap(jax.grad(loss), in_axes=(0, 0, 0, 0)))
+
+    x, core = fwd(data, z0, l0, v0)
+    np.asarray(core.residual)
+    g = bwd(data, z0, l0, v0)
+    np.asarray(g.x0)
+
+    t0 = time.perf_counter()
+    x, core = fwd(data._replace(x0=data.x0 * 1.0001), z0, l0, v0)
+    np.asarray(core.residual)
+    t_fwd = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    g = bwd(data._replace(x0=data.x0 * 1.0002), z0, l0, v0)
+    np.asarray(g.x0)
+    t_bwd = time.perf_counter() - t0
+
+    qps = B / t_bwd
+    print(f"bench[diff]: platform={platform} B={B} fwd={t_fwd:.3f}s "
+          f"grad={t_bwd:.3f}s (solve+backward)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "mpc_grads_per_chip",
+        "value": round(qps, 1),
+        "unit": "grads/s",
+        "vs_baseline": round(t_bwd / max(t_fwd, 1e-9), 3),
+    }))
+
+
 def main():
     import os
 
@@ -658,5 +711,7 @@ if __name__ == "__main__":
         run_longhorizon()
     elif len(sys.argv) > 1 and sys.argv[1] == "sparse":
         run_sparse()
+    elif len(sys.argv) > 1 and sys.argv[1] == "diff":
+        run_diff()
     else:
         main()

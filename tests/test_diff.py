@@ -31,7 +31,7 @@ def _dense_problem(seed=0, nz=5, nl=2, nv=4):
     return H, f, G, h, A, b
 
 
-def _fd_check(loss, data, fields, rng, probes=3, rtol=5e-4):
+def _fd_check(loss, data, fields, rng, probes=3, rtol=5e-4, atol=1e-4):
     """Central-difference check of jax.grad(loss)(data) on random
     entries of the given pytree fields."""
     g = jax.grad(loss)(data)
@@ -54,7 +54,7 @@ def _fd_check(loss, data, fields, rng, probes=3, rtol=5e-4):
             # difference quotient carries ~abs_tol/EPS absolute noise.
             adiff = abs(av - fdv)
             err = adiff / max(1e-6, abs(av), abs(fdv))
-            assert err < rtol or adiff < 1e-4, (
+            assert err < rtol or adiff < atol, (
                 f"grad mismatch {field}{idx}: ad={av} fd={fdv} rel={err}")
 
 
@@ -155,6 +155,41 @@ def test_grad_through_vmap():
                                atol=1e-10)
     # Different f scaling => different gradients per lane.
     assert not np.allclose(np.asarray(gB.f[0]), np.asarray(gB.f[1]))
+
+
+def test_grad_through_closed_loop():
+    """Learning-MPC composition: gradient of a rollout cost through
+    THREE chained solves (u_t from solve t feeds the plant, the next
+    state warm-starts nothing but parameterizes solve t+1 via x0) — the
+    custom_vjp chains through lax.scan. FD-checked w.r.t. a cost weight
+    and the initial state."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests.test_mpc_solve import random_mpc
+
+    N, nx, nu, nc = 3, 3, 2, 4
+    base = random_mpc(jax.random.key(11), N=N, nx=nx, nu=nu, nc=nc)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    z0, l0, v0 = jnp.zeros(nz), jnp.zeros(nl), jnp.zeros(nv)
+    steps = 3
+
+    @jax.jit
+    def rollout_cost(d):
+        def step(x0, _):
+            dt = d._replace(x0=x0)
+            z, l, v = solve_mpc_qp_diff(dt, z0, l0, v0, OPTS)
+            u0 = z[nx:nx + nu]
+            x_next = d.A[0] @ x0 + d.B[0] @ u0 + d.c[0]
+            return x_next, 0.5 * jnp.sum(x_next**2) + 0.1 * jnp.sum(u0**2)
+
+        _, costs = jax.lax.scan(step, d.x0, None, length=steps)
+        return jnp.sum(costs)
+
+    # Looser tolerances: FD truncation error and solve-tolerance noise
+    # both compound through three chained solves (gradient magnitudes
+    # span 1e-4..1e3 here).
+    _fd_check(rollout_cost, base, ("x0", "q"),
+              np.random.default_rng(5), probes=2, rtol=5e-3, atol=1e-2)
 
 
 def test_degenerate_fixture_gradients_finite():
