@@ -507,7 +507,7 @@ def run_sparse(B=None, nz=400, nl=40, nv=200):
     import jax.numpy as jnp
 
     from fbstab_tpu.models.dense_qp import dense_qp_data, solve_dense_qp
-    from fbstab_tpu.models.sparse_qp import solve_sparse_qp, sparse_qp_data
+    from fbstab_tpu.models.sparse_qp import sparse_qp_data
     from fbstab_tpu.options import Options
 
     if B is None:
@@ -533,16 +533,20 @@ def run_sparse(B=None, nz=400, nl=40, nv=200):
     z0, l0, v0 = jnp.zeros(nz), jnp.zeros(nl), jnp.zeros(nv)
 
     pat, d0 = sparse_qp_data(H, f0, G, h0, A, b0)
-    fs = jax.jit(lambda d, z, l, v: solve_sparse_qp(pat, d, z, l, v, opts))
-    x, core = fs(d0, z0, l0, v0)
+    from fbstab_tpu.models.sparse_qp import solve_sparse_qp_batch
+    dB = jax.tree.map(lambda a: jnp.stack([a] * B), d0)
+    dB = dB._replace(f=dB.f * (1.0 + 1e-4 * jnp.arange(B)[:, None]))
+    zB, lB, vB = (jnp.zeros((B, nz)), jnp.zeros((B, nl)),
+                  jnp.zeros((B, nv)))
+    fs = jax.jit(lambda d, z, l, v: solve_sparse_qp_batch(
+        pat, d, z, l, v, opts))
+    x, core = fs(dB, zB, lB, vB)
     np.asarray(core.residual)
     t0 = time.perf_counter()
-    nf = 0
-    for i in range(B):
-        di = d0._replace(f=d0.f * (1.0 + 1e-4 * i))
-        x, core = fs(di, z0, l0, v0)
-        nf += int(np.asarray(core.eflag) != 0)
+    x, core = fs(dB._replace(b=dB.b * 1.0001), zB, lB, vB)
+    np.asarray(core.residual)
     t_sparse = time.perf_counter() - t0
+    nf = int(np.sum(np.asarray(core.eflag) != 0))
 
     dd = dense_qp_data(H, f0, G, h0, A, b0)
     fd = jax.jit(lambda d, z, l, v: solve_dense_qp(d, z, l, v, opts))

@@ -97,6 +97,11 @@ def _gemv_t(pat: _CSRPattern, vals, y):
         vals * y[pat.row_ids], pat.indices, num_segments=pat.n)
 
 
+def _host_workers() -> int:
+    import os
+    return max(1, min(8, os.cpu_count() or 1))
+
+
 def _fill_reducing_perm(n: int, entries, ordering: str):
     """(perm, iperm) with new index a <-> old index perm[a]. RCM over
     K's adjacency when requested and scipy is present; identity
@@ -230,33 +235,106 @@ class SparsePattern:
         self._ldl = SparseLDL(self.n, Kp, Ki)
         self.lnnz = self._ldl.nnz
         self._lock = threading.Lock()
+        self._thread_local = threading.local()
+        self._pool = None
+        # Fix the canonical L row indices once: the fill pattern of the
+        # up-looking factorization depends only on (Kp, Ki), so a dummy
+        # quasi-definite factorization writes the Li every later solve
+        # shares read-only (worker threads factor into private Li
+        # scratch, see _factor_into).
+        dummy = np.zeros(self.knnz, np.float64)
+        dummy[self.zdiag] = 1.0
+        if self.ldiag.size:
+            dummy[self.ldiag] = -1.0
+        self._ldl.factor(dummy)
         self.ops = _make_ops(self)
 
     # ---- host side of the Newton step (runs under pure_callback) ------
+    #
+    # Batched callbacks shard instances over a small thread pool: the
+    # native factor/solve are ctypes calls that release the GIL, so a
+    # B-instance batch factors on all host cores in parallel. Each
+    # worker owns thread-local numeric buffers (the symbolic arrays
+    # parent/Lp/Li are shared read-only); the pure-NumPy fallback stays
+    # serial under the pattern lock.
+
+    def _factor_into(self, Kv_row, Lx_out, Dinv_out) -> bool:
+        """Factor one instance into caller slices; False on failure."""
+        if self._ldl._native:
+            from fbstab_tpu.utils import native_ldl
+            s = self._ldl
+            tl = self._thread_local
+            if not hasattr(tl, "ws"):
+                tl.ws = native_ldl._Workspace(self.n)
+                tl.D = np.empty(self.n, np.float64)
+                # Per-thread Li scratch: numeric factorization rewrites
+                # the (pattern-deterministic) row indices; the canonical
+                # copy in self._ldl.Li was fixed at construction and is
+                # shared read-only by the solves.
+                tl.Li = np.empty(self.lnnz, np.int64)
+            try:
+                native_ldl.factor(self.n, s.Ap, s.Ai, Kv_row, s.parent,
+                                  s.Lp, tl.Li, Lx_out, tl.D, Dinv_out,
+                                  tl.ws)
+                return bool(np.isfinite(tl.D).all())
+            except ZeroDivisionError:
+                return False
+        with self._lock:
+            try:
+                self._ldl.factor(Kv_row)
+                good = bool(np.isfinite(self._ldl.D).all())
+            except ZeroDivisionError:
+                return False
+            if good:
+                Lx_out[:] = self._ldl.Lx
+                Dinv_out[:] = self._ldl.Dinv
+            return good
+
+    def _solve_into(self, Lx_row, Dinv_row, x_row) -> None:
+        """In-place solve of one instance from explicit factors."""
+        if self._ldl._native:
+            from fbstab_tpu.utils import native_ldl
+            s = self._ldl
+            native_ldl.solve(self.n, s.Lp, s.Li, Lx_row, Dinv_row, x_row)
+            return
+        with self._lock:
+            s = self._ldl
+            s.Lx[:] = Lx_row
+            s.Dinv[:] = Dinv_row
+            s._factored = True
+            s.solve(x_row)
+
+    def _map_batch(self, B, work) -> None:
+        """Run work(b) for b in range(B), threaded when the native
+        backend (GIL-releasing) is in use and the batch warrants it."""
+        if B >= 4 and self._ldl._native:
+            from concurrent.futures import ThreadPoolExecutor
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=_host_workers())
+            list(self._pool.map(work, range(B)))
+        else:
+            for b in range(B):
+                work(b)
 
     def _host_factor(self, Kv):
         """(..., knnz) K values -> (Lx (..., lnnz), Dinv (..., n), ok)."""
         dt = Kv.dtype
         lead = Kv.shape[:-1]
         B = int(np.prod(lead, dtype=np.int64)) if lead else 1
-        KvB = np.asarray(Kv, np.float64).reshape(B, self.knnz)
+        KvB = np.ascontiguousarray(
+            np.asarray(Kv, np.float64).reshape(B, self.knnz))
         Lx = np.empty((B, self.lnnz), np.float64)
         Dinv = np.empty((B, self.n), np.float64)
         ok = np.empty(B, bool)
-        with self._lock:
-            for b in range(B):
-                try:
-                    self._ldl.factor(KvB[b])
-                    good = bool(np.isfinite(self._ldl.D).all())
-                except ZeroDivisionError:
-                    good = False
-                if good:
-                    Lx[b] = self._ldl.Lx
-                    Dinv[b] = self._ldl.Dinv
-                else:
-                    Lx[b] = np.nan
-                    Dinv[b] = np.nan
-                ok[b] = good
+
+        def work(b):
+            good = self._factor_into(KvB[b], Lx[b], Dinv[b])
+            if not good:
+                Lx[b] = np.nan
+                Dinv[b] = np.nan
+            ok[b] = good
+
+        self._map_batch(B, work)
         return (Lx.reshape(lead + (self.lnnz,)).astype(dt),
                 Dinv.reshape(lead + (self.n,)).astype(dt),
                 ok.reshape(lead))
@@ -266,23 +344,37 @@ class SparsePattern:
         dt = rhs.dtype
         lead = rhs.shape[:-1]
         B = int(np.prod(lead, dtype=np.int64)) if lead else 1
-        LxB = np.asarray(Lx, np.float64).reshape(B, self.lnnz)
-        DinvB = np.asarray(Dinv, np.float64).reshape(B, self.n)
+        LxB = np.ascontiguousarray(
+            np.asarray(Lx, np.float64).reshape(B, self.lnnz))
+        DinvB = np.ascontiguousarray(
+            np.asarray(Dinv, np.float64).reshape(B, self.n))
         xB = np.asarray(rhs, np.float64).reshape(B, self.n).copy()
-        s = self._ldl
-        with self._lock:
-            for b in range(B):
-                s.Lx[:] = LxB[b]
-                s.Dinv[:] = DinvB[b]
-                s._factored = True
-                s.solve(xB[b])
+        self._map_batch(B, lambda b: self._solve_into(
+            LxB[b], DinvB[b], xB[b]))
         return xB.reshape(rhs.shape).astype(dt)
 
     def _host_factor_solve(self, Kv, rhs):
         """Fused factor+solve: one host round-trip per Newton step."""
-        Lx, Dinv, ok = self._host_factor(Kv)
-        sol = self._host_solve(Lx, Dinv, rhs)
-        return sol, ok
+        dt = rhs.dtype
+        lead = rhs.shape[:-1]
+        B = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        KvB = np.ascontiguousarray(
+            np.asarray(Kv, np.float64).reshape(B, self.knnz))
+        xB = np.asarray(rhs, np.float64).reshape(B, self.n).copy()
+        ok = np.empty(B, bool)
+        Lx = np.empty((B, self.lnnz), np.float64)
+        Dinv = np.empty((B, self.n), np.float64)
+
+        def work(b):
+            good = self._factor_into(KvB[b], Lx[b], Dinv[b])
+            if good:
+                self._solve_into(Lx[b], Dinv[b], xB[b])
+            else:
+                xB[b] = np.nan
+            ok[b] = good
+
+        self._map_batch(B, work)
+        return xB.reshape(rhs.shape).astype(dt), ok.reshape(lead)
 
 
 class SparseQPData(NamedTuple):
