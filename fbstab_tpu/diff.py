@@ -72,6 +72,10 @@ def make_differentiable_solver(ops: ProblemOps, options: Options = Options(),
     vmap, and outer autodiff graphs (e.g. y = b - Az downstream of the
     returned (z, l, v) stays differentiable through b and A).
     """
+    # The solve saturates out-of-range options (fbstab_solve validates);
+    # the backward Newton matrix must use the SAME alpha the solution's
+    # PFB weights were built with.
+    options = options.validated()
     alpha = options.alpha
 
     @jax.custom_vjp

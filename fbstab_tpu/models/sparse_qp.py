@@ -86,7 +86,8 @@ def _gemv(pat: _CSRPattern, vals, x):
     if pat.nnz == 0:
         return jnp.zeros((pat.m,), x.dtype)
     return jax.ops.segment_sum(
-        vals * x[pat.indices], pat.row_ids, num_segments=pat.m)
+        vals * x[pat.indices], pat.row_ids, num_segments=pat.m,
+        indices_are_sorted=True)
 
 
 def _gemv_t(pat: _CSRPattern, vals, y):
@@ -310,7 +311,10 @@ class SparsePattern:
         if B >= 4 and self._ldl._native:
             from concurrent.futures import ThreadPoolExecutor
             if self._pool is None:
-                self._pool = ThreadPoolExecutor(max_workers=_host_workers())
+                with self._lock:
+                    if self._pool is None:
+                        self._pool = ThreadPoolExecutor(
+                            max_workers=_host_workers())
             list(self._pool.map(work, range(B)))
         else:
             for b in range(B):
@@ -399,6 +403,9 @@ def sparse_qp_data(H, f, G=None, h=None, A=None, b=None,
     nz = H.shape[0]
     if not np.allclose(H, H.T):
         raise ValueError("H must be symmetric.")
+    if A is None or b is None:
+        raise ValueError(
+            "A and b are required (nv >= 1), as in FBstabDense.")
     if G is None:
         G = np.zeros((0, nz))
         h = np.zeros((0,))

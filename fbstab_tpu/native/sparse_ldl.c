@@ -28,7 +28,8 @@ typedef int64_t idx;
  * Outputs: parent[n] (etree, -1 = root), Lnz[n] (strictly-below-diagonal
  * entries per column of L), work[n] scratch.
  * Returns total nnz(L) >= 0, or -(k+1) if column k is malformed
- * (empty, missing diagonal, or rows out of range/order).
+ * (empty, diagonal not last, or a row index out of [0, k]). Row order
+ * within a column is otherwise not required.
  */
 int64_t fbstab_ldl_etree(idx n, const idx *Ap, const idx *Ai,
                          idx *parent, idx *Lnz, idx *work) {

@@ -40,10 +40,15 @@ class SparseLDL:
 
     def __init__(self, n: int, Ap, Ai, backend: str = "auto"):
         self.n = int(n)
-        self.Ap = np.asarray(Ap, np.int64)
-        self.Ai = np.asarray(Ai, np.int64)
+        # Contiguity matters: the native backend hands raw data pointers
+        # to C, which would read a strided view's base buffer wrong.
+        self.Ap = np.ascontiguousarray(Ap, np.int64)
+        self.Ai = np.ascontiguousarray(Ai, np.int64)
         if self.Ap.shape != (self.n + 1,):
             raise ValueError("Ap must have length n+1.")
+        if self.Ai.shape != (int(self.Ap[-1]),):
+            raise ValueError(
+                f"Ai must have length Ap[n] = {int(self.Ap[-1])}.")
         if backend not in ("auto", "native", "python"):
             raise ValueError(f"Unknown backend {backend!r}.")
         if backend == "native" and not native_ldl.available():
@@ -83,7 +88,6 @@ class SparseLDL:
                         i = parent[i]
         self.parent = parent
         self.nnz = int(Lnz.sum())
-        self._Lnz_sym = Lnz
         self.Lp = np.zeros(n_ + 1, np.int64)
         np.cumsum(Lnz, out=self.Lp[1:])
         self.Li = np.zeros(self.nnz, np.int64)
@@ -96,6 +100,9 @@ class SparseLDL:
         """Numeric factorization A = L D L' for values Ax matching the
         analyzed pattern (the role of QdldlWrapper::Factor)."""
         Ax = np.ascontiguousarray(Ax, float)
+        if Ax.shape != (int(self.Ap[-1]),):
+            raise ValueError(
+                f"Ax must have length Ap[n] = {int(self.Ap[-1])}.")
         if self._native:
             native_ldl.factor(self.n, self.Ap, self.Ai, Ax, self.parent,
                               self.Lp, self.Li, self.Lx, self.D,
@@ -157,6 +164,8 @@ class SparseLDL:
         QdldlWrapper::Solve, qdldl_wrapper.h:57-61)."""
         if not self._factored:
             raise RuntimeError("factor() must be called before solve().")
+        if x.shape != (self.n,):
+            raise ValueError(f"x must have shape ({self.n},).")
         if self._native:
             if not (isinstance(x, np.ndarray) and x.dtype == np.float64
                     and x.flags.c_contiguous):
@@ -188,10 +197,20 @@ class SparseLDL:
         AxB = np.ascontiguousarray(AxB, float)
         if xB.dtype != np.float64 or not xB.flags.c_contiguous:
             raise ValueError("xB must be a contiguous float64 array.")
+        annz = int(self.Ap[-1])
+        if AxB.ndim != 2 or AxB.shape[1] != annz:
+            raise ValueError(f"AxB must have shape (batch, {annz}).")
+        if xB.shape != (AxB.shape[0], self.n):
+            raise ValueError(
+                f"xB must have shape ({AxB.shape[0]}, {self.n}).")
         if self._native:
-            return native_ldl.factor_solve_batch(
+            st = native_ldl.factor_solve_batch(
                 self.n, self.Ap, self.Ai, AxB, self.parent, self.Lp,
                 self.Li, self.Lx, self.D, self.Dinv, self._ws, xB)
+            # Lx/D/Dinv hold the last instance's factor, as on the
+            # python path (identical backend contract for solve()).
+            self._factored = True
+            return st
         first_bad = 0
         for b in range(AxB.shape[0]):
             try:

@@ -192,6 +192,25 @@ def test_grad_through_closed_loop():
               np.random.default_rng(5), probes=2, rtol=5e-3, atol=1e-2)
 
 
+def test_out_of_range_alpha_gradients_consistent():
+    """Out-of-range options are saturated by the solve; the backward
+    pass must use the SAME saturated alpha (an unsaturated alpha would
+    build an inconsistent Newton matrix and O(1)-wrong gradients)."""
+    H, f, G, h, A, b = _dense_problem()
+    data = dense_qp_data(H, f, G, h, A, b)
+    z0, l0, v0 = jnp.zeros(5), jnp.zeros(2), jnp.zeros(4)
+
+    def loss(d, opts):
+        z, l, v = solve_dense_qp_diff(d, z0, l0, v0, opts)
+        return 0.5 * jnp.sum(z**2) + jnp.sum(v)
+
+    g_bad = jax.grad(loss)(data, Options(abs_tol=1e-11, alpha=1.5))
+    sat = Options(abs_tol=1e-11, alpha=1.5).validated().alpha
+    g_ref = jax.grad(loss)(data, Options(abs_tol=1e-11, alpha=sat))
+    np.testing.assert_allclose(np.asarray(g_bad.b), np.asarray(g_ref.b),
+                               atol=1e-9)
+
+
 def test_degenerate_fixture_gradients_finite():
     """At dual-degenerate / boundary fixtures (the double integrator sits
     exactly on its feasibility boundary) the gradient is a subgradient —

@@ -129,6 +129,35 @@ def test_native_rejects_malformed_pattern():
         SparseLDL(2, [0, 1, 2], [0, 0], backend="native")
 
 
+@needs_native
+def test_size_validation_before_native_calls():
+    """Mis-sized arrays must raise, never reach the C kernels (OOB)."""
+    s = SparseLDL(2, [0, 1, 3], [0, 0, 1], backend="native")
+    s.factor(np.array([2.0, 0.5, 3.0]))
+    with pytest.raises(ValueError):
+        s.solve(np.zeros(1))
+    with pytest.raises(ValueError):
+        s.factor(np.zeros(2))
+    with pytest.raises(ValueError):
+        s.factor_solve_batch(np.ones((6, 3)), np.ones((2, 2)))
+    with pytest.raises(ValueError):
+        SparseLDL(2, [0, 1, 3], [0, 0], backend="native")  # short Ai
+
+
+@needs_native
+def test_solve_after_batch_matches_python_contract():
+    """factor_solve_batch leaves the last instance's factor loaded on
+    both backends (solve() must not raise afterwards)."""
+    for backend in ("native", "python"):
+        s = SparseLDL(2, [0, 1, 3], [0, 0, 1], backend=backend)
+        AxB = np.tile([2.0, 0.5, 3.0], (2, 1))
+        xB = np.ones((2, 2))
+        assert s.factor_solve_batch(AxB, xB) == 0
+        x = np.ones(2)
+        s.solve(x)  # must not raise
+        assert np.all(np.isfinite(x))
+
+
 def test_python_backend_always_available():
     rng = np.random.default_rng(11)
     M, Ap, Ai, Ax = _random_qd_csc(12, rng)
