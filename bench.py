@@ -578,7 +578,7 @@ def run_diff(B=None):
     import jax
     import jax.numpy as jnp
 
-    from fbstab_tpu.diff import solve_mpc_qp_diff
+    from fbstab_tpu.diff import solve_mpc_qp_batch_diff
     from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
     from fbstab_tpu.options import Options
 
@@ -589,14 +589,15 @@ def run_diff(B=None):
     N, nx, nu, nc = 30, 8, 3, 6
     dtype = jnp.float32 if not on_cpu else jnp.float64
     opts = Options.single_precision() if not on_cpu else Options()
+    sig = 1e-5 if not on_cpu else 1e-9
     data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
 
     def loss(d, z, l, v):
-        zz, ll, vv = solve_mpc_qp_diff(d, z, l, v, opts)
+        zz, ll, vv = solve_mpc_qp_batch_diff(d, z, l, v, opts, sig)
         return 0.5 * jnp.sum(zz**2)
 
     fwd = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
-    bwd = _jit(jax.vmap(jax.grad(loss), in_axes=(0, 0, 0, 0)))
+    bwd = _jit(jax.grad(loss))
 
     x, core = fwd(data, z0, l0, v0)
     np.asarray(core.residual)

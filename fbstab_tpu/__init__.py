@@ -26,8 +26,10 @@ if _VMEM_FLAG not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
 from fbstab_tpu.core.algorithm import fbstab_solve
 from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.diff import (
+    make_differentiable_batch_solver,
     make_differentiable_solver,
     solve_dense_qp_diff,
+    solve_mpc_qp_batch_diff,
     solve_mpc_qp_diff,
     solve_sparse_qp_diff,
 )
@@ -84,6 +86,7 @@ __all__ = [
     "VariableDF",
     "dense_qp_data",
     "fbstab_solve",
+    "make_differentiable_batch_solver",
     "make_differentiable_solver",
     "mpc_qp_data",
     "pattern_values",
@@ -94,6 +97,7 @@ __all__ = [
     "solve_dense_qp_diff",
     "solve_mpc_qp",
     "solve_mpc_qp_batch",
+    "solve_mpc_qp_batch_diff",
     "solve_mpc_qp_diff",
     "solve_sparse_qp",
     "solve_sparse_qp_batch",

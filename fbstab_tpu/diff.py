@@ -89,40 +89,93 @@ def make_differentiable_solver(ops: ProblemOps, options: Options = Options(),
 
     def bwd(res, cot):
         data, z, l, v = res
-        z_cot, l_cot, v_cot = cot
-        y = ops.b_vec(data) - ops.gemvA(data, z)
-        xstar = Variable(z=z, l=l, v=v, y=y)
-        sig = jnp.asarray(sigma_vjp, z.dtype)
-
-        # w = J_sigma^{-T} cot, through the class's own Newton machinery.
-        fact = ops.factor(data, xstar, xstar, sig, alpha)
-        dx = ops.newton_solve(data, fact, z_cot, -l_cot,
-                              -(fact.gamma * v_cot))
-        wz = dx.z
-        wl = -dx.l
-        # The rv-row cotangent enters theta only through
-        # dy/dtheta = db - dA z, scaled by the PFB gradient gamma:
-        # gamma*wv = gamma*(v_cot - A wz)/mus = -dx.v exactly (see the
-        # dual-recovery identity in newton_solve). Using dx.v instead of
-        # autodiffing pfb() keeps the guarded C-differential the solver
-        # itself uses (jax.vjp of the raw sqrt NaNs at y = v = 0).
-        y_cot = dx.v
-
-        # theta_cot = -(dF/dtheta)' w via vjp of the residual map.
-        def residual_map(d):
-            rz = (ops.gemvH(d, z) + ops.f_vec(d) + ops.gemvGT(d, l)
-                  + ops.gemvAT(d, v))
-            rl = ops.h_vec(d) - ops.gemvG(d, z)
-            ylin = ops.b_vec(d) - ops.gemvA(d, z)
-            return rz, rl, ylin
-
-        _, vjp_theta = jax.vjp(residual_map, data)
-        (theta_cot,) = vjp_theta((-wz, -wl, y_cot))
+        theta_cot = _implicit_bwd(ops, alpha, sigma_vjp, data, z, l, v, cot)
         zeros = (jnp.zeros_like(z), jnp.zeros_like(l), jnp.zeros_like(v))
         return (theta_cot, *zeros)
 
     solve.defvjp(fwd, bwd)
     return solve
+
+
+def _implicit_bwd(ops, alpha, sigma_vjp, data, z, l, v, cot):
+    """Single-instance backward pass: theta_cot = -(dF/dtheta)' J^{-T} cot
+    through the class's own Newton machinery (see module docstring)."""
+    z_cot, l_cot, v_cot = cot
+    y = ops.b_vec(data) - ops.gemvA(data, z)
+    xstar = Variable(z=z, l=l, v=v, y=y)
+    sig = jnp.asarray(sigma_vjp, z.dtype)
+
+    # w = J_sigma^{-T} cot.
+    fact = ops.factor(data, xstar, xstar, sig, alpha)
+    dx = ops.newton_solve(data, fact, z_cot, -l_cot,
+                          -(fact.gamma * v_cot))
+    wz = dx.z
+    wl = -dx.l
+    # The rv-row cotangent enters theta only through
+    # dy/dtheta = db - dA z, scaled by the PFB gradient gamma:
+    # gamma*wv = gamma*(v_cot - A wz)/mus = -dx.v exactly (see the
+    # dual-recovery identity in newton_solve). Using dx.v instead of
+    # autodiffing pfb() keeps the guarded C-differential the solver
+    # itself uses (jax.vjp of the raw sqrt NaNs at y = v = 0).
+    y_cot = dx.v
+
+    def residual_map(d):
+        rz = (ops.gemvH(d, z) + ops.f_vec(d) + ops.gemvGT(d, l)
+              + ops.gemvAT(d, v))
+        rl = ops.h_vec(d) - ops.gemvG(d, z)
+        ylin = ops.b_vec(d) - ops.gemvA(d, z)
+        return rz, rl, ylin
+
+    _, vjp_theta = jax.vjp(residual_map, data)
+    (theta_cot,) = vjp_theta((-wz, -wl, y_cot))
+    return theta_cot
+
+
+@functools.lru_cache(maxsize=64)
+def make_differentiable_batch_solver(ops: ProblemOps, batch_solve,
+                                     options: Options = Options(),
+                                     sigma_vjp: float = 1e-9):
+    """Batch-level differentiable solve: the FORWARD pass runs
+    `batch_solve(data, z0, l0, v0, options)` — e.g. solve_mpc_qp_batch,
+    which dispatches to the fused Pallas kernels on TPU — while the
+    backward pass vmaps the generic implicit-differentiation math over
+    the batch (XLA path; one factor + one solve per instance). This is
+    how the differentiable layer rides the production kernel path: fast
+    fused forward, exact implicit backward."""
+    options = options.validated()
+    alpha = options.alpha
+
+    @jax.custom_vjp
+    def solve(data, z0, l0, v0):
+        x, _ = batch_solve(data, z0, l0, v0, options)
+        return x.z, x.l, x.v
+
+    def fwd(data, z0, l0, v0):
+        out = solve(data, z0, l0, v0)
+        return out, (data, *out)
+
+    def bwd(res, cot):
+        data, z, l, v = res
+        theta_cot = jax.vmap(
+            lambda d, zz, ll, vv, zc, lc, vc: _implicit_bwd(
+                ops, alpha, sigma_vjp, d, zz, ll, vv, (zc, lc, vc))
+        )(data, z, l, v, *cot)
+        zeros = (jnp.zeros_like(z), jnp.zeros_like(l), jnp.zeros_like(v))
+        return (theta_cot, *zeros)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def solve_mpc_qp_batch_diff(data, z0, l0, v0, options: Options = Options(),
+                            sigma_vjp: Optional[float] = None):
+    """Differentiable BATCHED MPC solve: forward through the
+    solve_mpc_qp_batch dispatch (fused Pallas kernels on TPU f32),
+    backward through the vmapped implicit Riccati math."""
+    from fbstab_tpu.models.mpc_qp import MPC_OPS, solve_mpc_qp_batch
+    sig = _default_sig(sigma_vjp, z0.dtype)
+    return make_differentiable_batch_solver(
+        MPC_OPS, solve_mpc_qp_batch, options, sig)(data, z0, l0, v0)
 
 
 def solve_dense_qp_diff(data, z0, l0, v0, options: Options = Options(),

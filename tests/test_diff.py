@@ -192,6 +192,43 @@ def test_grad_through_closed_loop():
               np.random.default_rng(5), probes=2, rtol=5e-3, atol=1e-2)
 
 
+def test_batch_diff_matches_per_instance_diff():
+    """The batch-level differentiable solver (forward through the
+    solve_mpc_qp_batch dispatch) produces the same gradients as vmapping
+    the per-instance one."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fbstab_tpu.diff import solve_mpc_qp_batch_diff
+    from tests.test_mpc_solve import random_mpc
+
+    N, nx, nu, nc = 4, 3, 2, 4
+    d0 = random_mpc(jax.random.key(9), N=N, nx=nx, nu=nu, nc=nc)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    B = 3
+    dB = jax.tree.map(lambda a: jnp.stack([a] * B), d0)
+    dB = dB._replace(q=dB.q * jnp.asarray([1.0, 1.05, 0.95])[:, None, None])
+    zB = jnp.zeros((B, nz))
+    lB = jnp.zeros((B, nl))
+    vB = jnp.zeros((B, nv))
+
+    def loss_batch(d):
+        z, l, v = solve_mpc_qp_batch_diff(d, zB, lB, vB, OPTS)
+        return 0.5 * jnp.sum(z**2)
+
+    def loss_one(d):
+        z, l, v = solve_mpc_qp_diff(
+            d, zB[0], lB[0], vB[0], OPTS)
+        return 0.5 * jnp.sum(z**2)
+
+    gB = jax.jit(jax.grad(loss_batch))(dB)
+    g_each = jax.vmap(jax.grad(loss_one))(dB)
+    # atol covers vectorization-order rounding between the batched and
+    # vmapped-per-instance backward passes.
+    for got, want in zip(jax.tree.leaves(gB), jax.tree.leaves(g_each)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-7)
+
+
 def test_out_of_range_alpha_gradients_consistent():
     """Out-of-range options are saturated by the solve; the backward
     pass must use the SAME saturated alpha (an unsaturated alpha would
