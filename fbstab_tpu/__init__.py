@@ -28,6 +28,8 @@ from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.diff import (
     make_differentiable_batch_solver,
     make_differentiable_solver,
+    make_jvp_solver,
+    mpc_feedback_gain,
     solve_dense_qp_diff,
     solve_mpc_qp_batch_diff,
     solve_mpc_qp_diff,
@@ -88,6 +90,8 @@ __all__ = [
     "fbstab_solve",
     "make_differentiable_batch_solver",
     "make_differentiable_solver",
+    "make_jvp_solver",
+    "mpc_feedback_gain",
     "mpc_qp_data",
     "pattern_values",
     "refine_dense_batch",

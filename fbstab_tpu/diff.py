@@ -178,6 +178,77 @@ def solve_mpc_qp_batch_diff(data, z0, l0, v0, options: Options = Options(),
         MPC_OPS, solve_mpc_qp_batch, options, sig)(data, z0, l0, v0)
 
 
+@functools.lru_cache(maxsize=64)
+def make_jvp_solver(ops: ProblemOps, options: Options = Options(),
+                    sigma_vjp: float = 1e-9):
+    """Forward-mode counterpart of make_differentiable_solver: a
+    custom_jvp solve (data, z0, l0, v0) -> (z, l, v) supporting
+    jax.jvp / jax.jacfwd w.r.t. `data` (JAX does not allow custom_jvp
+    and custom_vjp on one function, so forward mode is a separate
+    wrapper over the same implicit-function machinery).
+
+    The tangent rule solves the SAME Newton system forward:
+    x_dot = J_sigma^{-1} (-dF/dtheta theta_dot), with the rv-row tangent
+    gamma * (db - dA z) folded in via the solver's guarded PFB gradient.
+    jacfwd of the first control w.r.t. x0 is the implicit MPC feedback
+    gain — the classic sensitivity use-case this enables.
+    """
+    options = options.validated()
+    alpha = options.alpha
+
+    @jax.custom_jvp
+    def solve(data, z0, l0, v0):
+        x, _ = fbstab_solve(ops, data, z0, l0, v0, options)
+        return x.z, x.l, x.v
+
+    @solve.defjvp
+    def solve_jvp(primals, tangents):
+        data, z0, l0, v0 = primals
+        data_dot = tangents[0]
+        z, l, v = solve(data, z0, l0, v0)
+        y = ops.b_vec(data) - ops.gemvA(data, z)
+        xstar = Variable(z=z, l=l, v=v, y=y)
+        sig = jnp.asarray(sigma_vjp, z.dtype)
+        fact = ops.factor(data, xstar, xstar, sig, alpha)
+
+        def residual_map(d):
+            rz = (ops.gemvH(d, z) + ops.f_vec(d) + ops.gemvGT(d, l)
+                  + ops.gemvAT(d, v))
+            rl = ops.h_vec(d) - ops.gemvG(d, z)
+            ylin = ops.b_vec(d) - ops.gemvA(d, z)
+            return rz, rl, ylin
+
+        # dF/dtheta theta_dot; the pfb row is gamma * ylin_dot.
+        _, (rz_d, rl_d, yl_d) = jax.jvp(residual_map, (data,), (data_dot,))
+        dx = ops.newton_solve(data, fact, -rz_d, -rl_d,
+                              -(fact.gamma * yl_d))
+        return (z, l, v), (dx.z, dx.l, dx.v)
+
+    return solve
+
+
+def mpc_feedback_gain(data, options: Options = Options(),
+                      sigma_vjp: Optional[float] = None):
+    """The implicit MPC feedback law's local gain K = d u0* / d x0 at
+    the solution (nu, nx), via one forward-mode sensitivity solve per
+    state dimension. The classic use: deploy u = u0* + K (x - x0)
+    between re-solves, or inspect the active-set-dependent gain."""
+    from fbstab_tpu.models.mpc_qp import MPC_OPS, mpc_dims
+    N, nx, nu, nc = mpc_dims(data)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    dtype = data.x0.dtype
+    sig = _default_sig(sigma_vjp, dtype)
+    solve = make_jvp_solver(MPC_OPS, options, sig)
+    zeros = (jnp.zeros((nz,), dtype), jnp.zeros((nl,), dtype),
+             jnp.zeros((nv,), dtype))
+
+    def u0_of_x0(x0):
+        z, _, _ = solve(data._replace(x0=x0), *zeros)
+        return z[nx:nx + nu]
+
+    return jax.jacfwd(u0_of_x0)(data.x0)
+
+
 def solve_dense_qp_diff(data, z0, l0, v0, options: Options = Options(),
                         sigma_vjp: Optional[float] = None):
     """Differentiable dense solve: (z, l, v) with gradients w.r.t. every

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fbstab_tpu import Options, dense_qp_data, sparse_qp_data
+from fbstab_tpu import ExitFlag, Options, dense_qp_data, sparse_qp_data
 from fbstab_tpu.diff import (
     solve_dense_qp_diff,
     solve_mpc_qp_diff,
@@ -246,6 +246,61 @@ def test_out_of_range_alpha_gradients_consistent():
     g_ref = jax.grad(loss)(data, Options(abs_tol=1e-11, alpha=sat))
     np.testing.assert_allclose(np.asarray(g_bad.b), np.asarray(g_ref.b),
                                atol=1e-9)
+
+
+def test_jacfwd_matches_jacrev():
+    """Forward-mode (custom_jvp) and reverse-mode (custom_vjp) implicit
+    differentiation agree on the full Jacobian d z*/d f."""
+    from fbstab_tpu.diff import make_jvp_solver
+    from fbstab_tpu.models.dense_qp import DENSE_OPS
+
+    H, f, G, h, A, b = _dense_problem()
+    data = dense_qp_data(H, f, G, h, A, b)
+    z0, l0, v0 = jnp.zeros(5), jnp.zeros(2), jnp.zeros(4)
+    fwd_solve = make_jvp_solver(DENSE_OPS, OPTS, 1e-9)
+
+    def z_of_f_fwd(fv):
+        return fwd_solve(data._replace(f=fv), z0, l0, v0)[0]
+
+    def z_of_f_rev(fv):
+        return solve_dense_qp_diff(data._replace(f=fv), z0, l0, v0,
+                                   OPTS, 1e-9)[0]
+
+    Jf = jax.jacfwd(z_of_f_fwd)(data.f)
+    Jr = jax.jacrev(z_of_f_rev)(data.f)
+    np.testing.assert_allclose(np.asarray(Jf), np.asarray(Jr), atol=1e-8)
+
+
+def test_mpc_feedback_gain_matches_fd():
+    """K = d u0*/d x0 from forward-mode sensitivity matches finite
+    differences on an interior problem (the implicit MPC feedback law)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fbstab_tpu.diff import mpc_feedback_gain
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp
+    from tests.test_mpc_solve import random_mpc
+
+    N, nx, nu, nc = 4, 3, 2, 4
+    data = random_mpc(jax.random.key(13), N=N, nx=nx, nu=nu, nc=nc)
+    K = np.asarray(mpc_feedback_gain(data, OPTS))
+    assert K.shape == (nu, nx)
+
+    nz = (N + 1) * (nx + nu)
+    nl, nv = (N + 1) * nx, (N + 1) * nc
+    z0, l0, v0 = jnp.zeros(nz), jnp.zeros(nl), jnp.zeros(nv)
+
+    def u0(x0):
+        x, core = solve_mpc_qp(data._replace(x0=jnp.asarray(x0)),
+                               z0, l0, v0, OPTS)
+        assert int(core.eflag) == ExitFlag.SUCCESS
+        return np.asarray(x.z)[nx:nx + nu]
+
+    x0 = np.asarray(data.x0)
+    for j in range(nx):
+        e = np.zeros(nx)
+        e[j] = EPS
+        fd = (u0(x0 + e) - u0(x0 - e)) / (2 * EPS)
+        np.testing.assert_allclose(K[:, j], fd, rtol=1e-4, atol=1e-6)
 
 
 def test_degenerate_fixture_gradients_finite():
