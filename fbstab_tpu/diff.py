@@ -44,6 +44,11 @@ with the f64 default of 1e-9 it is far below solve tolerance. Gradients
 are defined where the solution is unique and locally Lipschitz; at
 degeneracies they are a particular subgradient (the PFB C-differential
 element the solver itself uses).
+
+Gradients are meaningful only where the solve SUCCEEDS: for infeasible/
+unbounded problems the returned point is a certificate, not a solution,
+and the implicit-function premise F(x*, theta) = 0 does not hold — check
+eflag through the regular (non-diff) API when feasibility is in doubt.
 """
 
 from __future__ import annotations

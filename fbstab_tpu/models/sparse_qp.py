@@ -628,4 +628,20 @@ class FBstabSparse:
             newton_iters=core.newton_iters, prox_iters=core.prox_iters,
             solve_time=jnp.asarray(elapsed),
             initial_residual=core.initial_residual)
+        self._maybe_print_final(out, data, x)
         return x, out
+
+    def _maybe_print_final(self, out: SolverOut, data: SparseQPData,
+                           x: Variable) -> None:
+        from fbstab_tpu.core.residuals import (
+            penalized_natural_residual, residual_block_norms)
+        from fbstab_tpu.options import Display
+        from fbstab_tpu.utils.printing import print_final
+        if self._options.display_level < Display.FINAL:
+            return
+        ops = self.pattern.ops
+        bn = residual_block_norms(penalized_natural_residual(
+            ops, data, x, self._options.alpha))
+        combo = float(self._options.abs_tol + self._options.rel_tol
+                      * (1.0 + ops.forcing_norm(data)))
+        print_final(out, self._options, block_norms=bn, combo_tol=combo)
