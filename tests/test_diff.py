@@ -303,6 +303,35 @@ def test_mpc_feedback_gain_matches_fd():
         np.testing.assert_allclose(K[:, j], fd, rtol=1e-4, atol=1e-6)
 
 
+def test_f32_gradients_close_to_f64():
+    """The f32 profile (sigma_vjp=1e-5 default) produces gradients close
+    to the f64 ones — the configuration the TPU path runs."""
+    H, f, G, h, A, b = _dense_problem()
+    z064, l064, v064 = jnp.zeros(5), jnp.zeros(2), jnp.zeros(4)
+
+    def loss64(d):
+        z, l, v = solve_dense_qp_diff(d, z064, l064, v064, OPTS)
+        return 0.5 * jnp.sum(z**2)
+
+    g64 = jax.grad(loss64)(dense_qp_data(H, f, G, h, A, b))
+
+    opts32 = Options(abs_tol=1e-6, sigma0=1e-6)
+    d32 = dense_qp_data(H, f, G, h, A, b, dtype=jnp.float32)
+    z032 = jnp.zeros(5, jnp.float32)
+    l032 = jnp.zeros(2, jnp.float32)
+    v032 = jnp.zeros(4, jnp.float32)
+
+    def loss32(d):
+        z, l, v = solve_dense_qp_diff(d, z032, l032, v032, opts32)
+        return 0.5 * jnp.sum(z**2)
+
+    g32 = jax.grad(loss32)(d32)
+    for a64, a32 in zip(jax.tree.leaves(g64), jax.tree.leaves(g32)):
+        a64, a32 = np.asarray(a64), np.asarray(a32)
+        assert np.all(np.isfinite(a32))
+        np.testing.assert_allclose(a32, a64, rtol=5e-3, atol=5e-4)
+
+
 def test_degenerate_fixture_gradients_finite():
     """At dual-degenerate / boundary fixtures (the double integrator sits
     exactly on its feasibility boundary) the gradient is a subgradient —
