@@ -60,6 +60,8 @@ from fbstab_tpu.models.sparse_qp import (
     FBstabSparse,
     SparsePattern,
     SparseQPData,
+    mpc_sparse_pattern,
+    mpc_sparse_values,
     pattern_values,
     solve_sparse_qp,
     solve_sparse_qp_batch,
@@ -93,6 +95,8 @@ __all__ = [
     "make_jvp_solver",
     "mpc_feedback_gain",
     "mpc_qp_data",
+    "mpc_sparse_pattern",
+    "mpc_sparse_values",
     "pattern_values",
     "refine_dense_batch",
     "refine_mpc_batch",

@@ -30,6 +30,7 @@ Newton step round-trips to the host — correct, but intended for CPU use.
 
 from __future__ import annotations
 
+import functools
 import threading
 from typing import NamedTuple, Optional
 
@@ -434,6 +435,83 @@ def pattern_values(pat: SparsePattern, H, f, G, h, A, b,
 # ----------------------------------------------------------------------
 # ProblemOps over a static pattern.
 # ----------------------------------------------------------------------
+
+# ----------------------------------------------------------------------
+# MPC -> sparse bridge: the block-banded MPC QP built directly as CSR
+# patterns/values, with no dense (nz x nz) materialization. The pattern
+# depends only on the stage dims (structural zeros inside stage blocks
+# are kept), so one pattern serves every instance of a given shape; the
+# value packer is jittable.
+# ----------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def mpc_sparse_pattern(N: int, nx: int, nu: int, nc: int,
+                       ordering: str = "rcm") -> "SparsePattern":
+    """SparsePattern of the MPC QP with horizon N and stage dims
+    (nx, nu, nc): H block-diagonal with (nx+nu) stage blocks, A
+    block-diagonal with (nc, nx+nu) stage blocks, G the dynamics
+    bidiagonal [A_{i-1} B_{i-1} | -I] (reference layout:
+    mpc_data.cc:107-151 / tests/test_mpc_solve.py::materialize)."""
+    ns = nx + nu
+    nz, nl, nv = (N + 1) * ns, (N + 1) * nx, (N + 1) * nc
+
+    # H: dense (ns, ns) block per stage, row-major within the block.
+    h_indptr = np.arange(nz + 1, dtype=np.int64) * ns
+    h_indices = np.concatenate([
+        np.tile(np.arange(i * ns, (i + 1) * ns, dtype=np.int64), ns)
+        for i in range(N + 1)]) if nz else np.zeros(0, np.int64)
+
+    # A: dense (nc, ns) block per stage.
+    a_indptr = np.arange(nv + 1, dtype=np.int64) * ns
+    a_indices = np.concatenate([
+        np.tile(np.arange(i * ns, (i + 1) * ns, dtype=np.int64), nc)
+        for i in range(N + 1)]) if nv else np.zeros(0, np.int64)
+
+    # G: block row 0 is -I on x_0; block row i >= 1 is
+    # [A_{i-1} B_{i-1}] on stage i-1 plus -I on x_i (diagonal entry per
+    # row, stored last so each row is sorted).
+    g_indptr = [0]
+    g_indices = []
+    for r in range(nx):                      # block 0
+        g_indices.append(r)
+        g_indptr.append(len(g_indices))
+    for i in range(1, N + 1):
+        prev = (i - 1) * ns
+        for r in range(nx):
+            g_indices.extend(range(prev, prev + ns))
+            g_indices.append(i * ns + r)
+            g_indptr.append(len(g_indices))
+    return SparsePattern(
+        _csr_pattern(h_indptr, h_indices, nz, nz),
+        _csr_pattern(np.asarray(g_indptr, np.int64),
+                     np.asarray(g_indices, np.int64), nl, nz),
+        _csr_pattern(a_indptr, a_indices, nv, nz),
+        ordering=ordering)
+
+
+def mpc_sparse_values(data) -> SparseQPData:
+    """Packs MpcQPData stage arrays into the value pytree for
+    `mpc_sparse_pattern` of the same dims (jittable; entry order matches
+    the pattern construction)."""
+    Q, R, S = data.Q, data.R, data.S
+    Np1, nx = Q.shape[0], Q.shape[1]
+    nu = R.shape[1]
+    # H stage blocks [[Q, S'], [S, R]], row-major.
+    top = jnp.concatenate([Q, jnp.swapaxes(S, 1, 2)], axis=2)
+    bot = jnp.concatenate([S, R], axis=2)
+    Hx = jnp.concatenate([top, bot], axis=1).reshape(-1)
+    # A stage blocks [E, L].
+    Ax = jnp.concatenate([data.E, data.L], axis=2).reshape(-1)
+    # G: -I block, then per-stage [A B | -1-diagonal].
+    dtype = Q.dtype
+    neg1 = jnp.full((Np1 - 1, nx, 1), -1.0, dtype)
+    body = jnp.concatenate([data.A, data.B, neg1], axis=2).reshape(-1)
+    Gx = jnp.concatenate([jnp.full((nx,), -1.0, dtype), body])
+    f = jnp.concatenate([data.q, data.r], axis=1).reshape(-1)
+    h = -jnp.concatenate([data.x0, data.c.reshape(-1)])
+    b = -data.d.reshape(-1)
+    return SparseQPData(Hx=Hx, f=f, Gx=Gx, h=h, Ax=Ax, b=b)
+
 
 class SparseFactorization(NamedTuple):
     Lx: jnp.ndarray     # (nnz(L),)

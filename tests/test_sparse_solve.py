@@ -257,6 +257,49 @@ def test_mpc_benchmark_through_sparse_path():
     assert pat.lnnz < 0.2 * (pat.n * (pat.n + 1)) // 2
 
 
+def test_mpc_sparse_bridge_matches_materialization_and_riccati():
+    """mpc_sparse_pattern/mpc_sparse_values build the block-banded MPC QP
+    directly as CSR (no dense materialization): gemvs match the explicit
+    matrices, the solve matches the Riccati path, and fill stays O(N)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fbstab_tpu.models.mpc_qp import mpc_dims, solve_mpc_qp
+    from fbstab_tpu.models.sparse_qp import (
+        mpc_sparse_pattern, mpc_sparse_values)
+    from tests.test_mpc_solve import materialize, random_mpc
+
+    data = random_mpc(jax.random.key(3), N=6, nx=3, nu=2, nc=4)
+    N, nx, nu, nc = mpc_dims(data)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    pat = mpc_sparse_pattern(N, nx, nu, nc)
+    vals = mpc_sparse_values(data)
+
+    H, f, G, h, A, b = materialize(data)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(nz))
+    np.testing.assert_allclose(np.asarray(pat.ops.gemvH(vals, x)), H @ x,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pat.ops.gemvG(vals, x)), G @ x,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pat.ops.gemvA(vals, x)), A @ x,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vals.f), f, atol=0)
+    np.testing.assert_allclose(np.asarray(vals.h), h, atol=0)
+    np.testing.assert_allclose(np.asarray(vals.b), b, atol=0)
+
+    opts = Options(abs_tol=1e-9)
+    zeros = (jnp.zeros(nz), jnp.zeros(nl), jnp.zeros(nv))
+    xs, cs = solve_sparse_qp(pat, vals, *zeros, opts)
+    xr, cr = solve_mpc_qp(data, *zeros, opts)
+    assert int(cs.eflag) == int(cr.eflag) == ExitFlag.SUCCESS
+    np.testing.assert_allclose(np.asarray(xs.z), np.asarray(xr.z),
+                               atol=1e-6)
+    # Block-banded => O(N) fill: doubling the horizon roughly doubles
+    # nnz(L) (a dense factor would quadruple it).
+    pat2 = mpc_sparse_pattern(2 * N, nx, nu, nc)
+    assert pat2.lnnz < 2.6 * pat.lnnz
+
+
 def test_nan_data_fails_cleanly():
     """NaN in H must surface as a non-SUCCESS flag, not a crash or a
     silent NaN solution marked SUCCESS."""
