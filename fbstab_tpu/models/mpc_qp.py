@@ -503,7 +503,9 @@ def _fused_vmem_mb(N, nx, nu, nc, tile_b=128, lowmem=False) -> float:
     The standalone Newton-step kernel's set is within a few MB of this
     (trades the warmstart inputs for residual inputs), so one model gates
     both."""
-    N1, b = N + 1, 4 * tile_b / 1e6
+    # VMEM pads the lane dimension to 128 (CLAUDE.md perf rule 7), so a
+    # smaller requested tile does not shrink the footprint.
+    N1, b = N + 1, 4 * max(tile_b, 128) / 1e6
     mats = (N1 * nx * nx + N1 * nu * nu + N1 * nu * nx + N * nx * nx
             + N * nx * nu + N1 * nc * nx + N1 * nc * nu)
     vecs_in = N1 * nx + N1 * nu + N * nx + nx + N1 * nc  # q r c x0 d
@@ -835,9 +837,12 @@ def _fused_solve_eligible(data: MpcQPData, dtype):
 # full-horizon formulation measured 115 MB of spill at nx=18/N=80 —
 # past the 128 MB physical VMEM of v5e (and shrinking the lane tile
 # does not help: VMEM pads lanes to 128). The factor covers the staged
-# kernel's remaining spill (the per-stage Riccati matrices).
+# kernel's remaining spill (the per-stage Riccati matrices); the budget
+# equals the raised scoped-VMEM limit the kernels declare
+# (utils/compile.py VMEM_LIMIT_KIB = 112 MiB), so anything the gate
+# admits is within what the compile is allowed to use.
 _SUBFUSED_SPILL_FACTOR = 1.4
-_SUBFUSED_BUDGET_MB = 120.0
+_SUBFUSED_BUDGET_MB = 112.0
 
 
 def _subfused_eligible(data: MpcQPData, dtype):
@@ -853,14 +858,12 @@ def _subfused_eligible(data: MpcQPData, dtype):
     mode = _kernel_mode(N, nx, nu, nc)
     if mode is None:
         return None
-    tile_b = None
-    for cand in (128, 64, 32):
-        mb = _fused_vmem_mb(N, nx, nu, nc, tile_b=cand,
-                            lowmem=(mode == "lowmem"))
-        if mb * _SUBFUSED_SPILL_FACTOR <= _SUBFUSED_BUDGET_MB:
-            tile_b = cand
-            break
-    if tile_b is None:
+    # One candidate only: lanes pad to 128, so smaller tiles cost the
+    # same VMEM and would only serialize more launches.
+    tile_b = 128
+    mb = _fused_vmem_mb(N, nx, nu, nc, tile_b=tile_b,
+                        lowmem=(mode == "lowmem"))
+    if mb * _SUBFUSED_SPILL_FACTOR > _SUBFUSED_BUDGET_MB:
         return None
     if PALLAS_MODE == "interpret":
         return mode, tile_b

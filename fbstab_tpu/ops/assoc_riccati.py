@@ -53,6 +53,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax import lax
 
+from fbstab_tpu.utils.compile import VMEM_LIMIT_KIB
 from fbstab_tpu.ops.smallchol import (
     UNROLL_LIMIT,
     cho_solve_small,
@@ -419,7 +420,7 @@ def _combine_bl_pallas(left: _SpanElement, right: _SpanElement
         out_shape=(ms, ms, ms, vs, vs),
         interpret=(PALLAS_MODE == "interpret"),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_KIB * 1024),
     )(*left, *right)
     out = _SpanElement(*outs)
     if Bp != Bb:

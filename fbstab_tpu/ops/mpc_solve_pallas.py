@@ -49,19 +49,15 @@ Mosaic cannot reduce over.
 
 from __future__ import annotations
 
-import os
 import types
 
 # The fused kernel's working set exceeds the default 16 MiB scoped-VMEM
 # budget (~9 MB per 128-lane tile at N=30/nx=8; ~72 MB in lowmem mode at
 # the CopolymerizationReactor's N=80/nx=18); v5e has 128 MiB of VMEM per
-# core, so the limit is raised to 112 MiB. Must be in the env before
-# libtpu initializes, so it is set at import time (idempotent, merged
-# with existing args).
-_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=114688"
-if _VMEM_FLAG not in os.environ.get("LIBTPU_INIT_ARGS", ""):
-    os.environ["LIBTPU_INIT_ARGS"] = (
-        os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG).strip()
+# core, so the limit is raised to 112 MiB. The env flag is set by
+# fbstab_tpu/__init__.py (which always runs before this module can be
+# imported) and the per-compile channel by utils/compile.py; each
+# pallas_call below also self-declares the budget via CompilerParams.
 
 import jax
 import jax.numpy as jnp
@@ -80,7 +76,7 @@ from fbstab_tpu.ops.riccati_pallas import (
     riccati_factor_solve,
 )
 from fbstab_tpu.solver_out import ExitFlag
-from fbstab_tpu.utils.compile import vmem_jit
+from fbstab_tpu.utils.compile import VMEM_LIMIT_KIB, vmem_jit
 
 TILE_B = 128
 
@@ -271,9 +267,7 @@ def _build_ctx(N, nx, nu, nc, opts: Options, lowmem: bool,
         finite or only contaminates lanes that already exited with
         LINEAR_SOLVER_FAILED (whose outputs are taken from the
         pre-failure iterate)."""
-        mf = m.astype(a.dtype) if a.dtype != jnp.int32 else \
-            m.astype(jnp.int32)
-        return b + mf * (a - b)
+        return b + m.astype(a.dtype) * (a - b)
 
     X = tuple  # state = (zx, zu, l, v, y), all 2-D (rows, B)
 
@@ -318,20 +312,10 @@ def _build_ctx(N, nx, nu, nc, opts: Options, lowmem: bool,
         dzx = rd(dzx_s, nx)
         dzu = rd(dzu_s, nu)
         dl = rd(dl_s, nx)
-        # Dual recovery (riccati_linear_solver.cc:329-342).
+        # Dual recovery (riccati_linear_solver.cc:329-342); weights from
+        # the shared guarded PFB gradient (riccati_pallas._pfb_weights).
         ys = y + sigma * (v - bv)
-        rr = jnp.sqrt(ys * ys + v * v)
-        deg = rr < 1e-13
-        rr = jnp.where(deg, 1.0, rr)
-        ga = alpha * (1.0 - ys / rr)
-        gb = alpha * (1.0 - v / rr)
-        inter = (ys > 0) & (v > 0)
-        ga = jnp.where(inter, ga + (1.0 - alpha) * v, ga)
-        gb = jnp.where(inter, gb + (1.0 - alpha) * ys, gb)
-        dgn = alpha * (1.0 - 1.0 / jnp.sqrt(jnp.asarray(2.0, f32)))
-        ga = jnp.where(deg, dgn, ga)
-        gb = jnp.where(deg, dgn, gb)
-        mus = gb + sigma * ga
+        ga, mus = _pfb_weights(ys, v, sigma, alpha)
         Adz = gemvA(dzx, dzu)
         dv_s[...] = ((-rv + ga * Adz) / mus).reshape(Np1, nc, Bl)
         dy_s[...] = (bb - Adz).reshape(Np1, nc, Bl)
@@ -367,7 +351,10 @@ def _build_ctx(N, nx, nu, nc, opts: Options, lowmem: bool,
     def _stage_sq(s, has_prev, has_next, rdst, xb_rd, store):
         """Sum-of-squares row of the stage-s residual block; optionally
         stores the NEGATED residual (the Riccati rhs convention) plus
-        the (v, y, vbar) rows the factorization reads."""
+        the (v, y, vbar) rows the factorization reads. `store` requires
+        an inner residual (xb_rd) — the stored vbar row comes from it."""
+        assert not (store and xb_rd is None), \
+            "store=True needs the prox center xb_rd"
         zxs, zus, ls, vs, ys = rdst(s)
         Ss = S_ref[s]
         rzx = (q_ref[s] + _mvv(Q_ref[s], zxs) + _mvv(_mT(Ss), zus) - ls
@@ -1206,6 +1193,8 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
             out_specs=tuple(vspec() for _ in out_shape),
             out_shape=out_shape,
             scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT_KIB * 1024),
             interpret=interpret,
         )
         outs = lax.map(lambda a: call(*a), ins)
@@ -1233,6 +1222,8 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
             out_specs=tuple(gspec(s) for s in out_sh),
             out_shape=out_shape,
             scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT_KIB * 1024),
             interpret=interpret,
         )(*ins)
 
@@ -1407,7 +1398,7 @@ def mpc_subproblem_fused(data_tiles, dims, xbar: Variable, itol_prev,
     scratch += [pltpu.VMEM((1, tile_b), dtype)]    # red_s
 
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_KIB * 1024)
     call = pl.pallas_call(
         kernel,
         in_specs=[vspec() for _ in ins],

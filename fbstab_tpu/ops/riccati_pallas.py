@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fbstab_tpu.ops.pfb import ZERO_TOLERANCE
-from fbstab_tpu.utils.compile import vmem_jit
+from fbstab_tpu.utils.compile import VMEM_LIMIT_KIB, vmem_jit
 
 TILE_B = 128
 
@@ -525,7 +525,7 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
     # Self-declared scoped-VMEM budget: the process-global
     # LIBTPU_INIT_ARGS flag only applies when the fused-solver modules
     # were imported before the first TPU compile.
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_KIB * 1024)
     if lowmem:
         call = pl.pallas_call(
             kernel,
@@ -570,11 +570,8 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
     # Dual recovery outside the kernel (riccati_linear_solver.cc:329-342):
     # these are wide batched einsums, cheap in XLA and not worth VMEM.
     sig_col = sig_b[:, None]                          # (B, 1)
-    ys = y + sig_col * (v - vbar)
-    from fbstab_tpu.ops.pfb import pfb_gradient
-    g, m0 = pfb_gradient(ys, v, alpha)
-    gamma = g
-    mus = m0 + sig_col * g
+    from fbstab_tpu.ops.pfb import pfb_weights
+    gamma, mus, _ = pfb_weights(y, v, vbar, sig_col, alpha)
     dzs = dz.reshape(B, N1, ns)
     Adz = (jnp.einsum("bscj,bsj->bsc", data.E, dzs[:, :, :nx])
            + jnp.einsum("bscj,bsj->bsc", data.L, dzs[:, :, nx:])
