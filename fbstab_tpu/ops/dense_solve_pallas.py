@@ -19,12 +19,12 @@ W = Le^{-1} G' (reference: dense_cholesky_solver.cc:32-127).
 
 from __future__ import annotations
 
-import os
-
-_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
-if _VMEM_FLAG not in os.environ.get("LIBTPU_INIT_ARGS", ""):
-    os.environ["LIBTPU_INIT_ARGS"] = (
-        os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG).strip()
+# The scoped-VMEM env flag is set by fbstab_tpu/__init__.py (112 MiB,
+# which covers this kernel's smaller working set). Appending a second,
+# smaller duplicate here could SHRINK the effective budget for the MPC
+# kernels if libtpu honors the last duplicate, so this module sets none;
+# the per-compile channel is the vmem_jit(limit_kib=...) below and the
+# CompilerParams on the pallas_call.
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,7 @@ from fbstab_tpu.ops.riccati_pallas import (
     _mm,
     _mv,
     _pfb_weights,
+    pad_batch,
     _T,
     _tri_lower,
     _tri_upperT,
@@ -125,9 +126,7 @@ def _make_dense_kernel(n, q, nl, opts: Options):
             return mater(jnp.sqrt(s))
 
         def blend(m, a, b):
-            mf = m.astype(a.dtype) if a.dtype != jnp.int32 else \
-                m.astype(jnp.int32)
-            return b + mf * (a - b)
+            return b + m.astype(a.dtype) * (a - b)
 
         def sel(m, a, b):
             if a.shape[0] == m.shape[0]:
@@ -436,11 +435,7 @@ def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
     T = Bp // tile_b
 
     def prep(a, shape):
-        a = a.reshape((B,) + shape)
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
-        a = a.reshape((T, tile_b) + shape)
+        a = pad_batch(a, B, pad, shape).reshape((T, tile_b) + shape)
         return jnp.moveaxis(a, 1, -1)
 
     def prep_eq(a, shape):
@@ -481,6 +476,8 @@ def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
         out_specs=tuple(vspec() for _ in out_shape),
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((1, tile_b), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )
 

@@ -73,6 +73,7 @@ from fbstab_tpu.ops.riccati_pallas import (
     _T as _mT,
     _mv as _mvv,
     _pfb_weights,
+    pad_batch,
     riccati_factor_solve,
 )
 from fbstab_tpu.solver_out import ExitFlag
@@ -1138,10 +1139,7 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
     T = Bp // tile_b
 
     def prep(a, shape):
-        a = a.reshape((B,) + shape)
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        a = pad_batch(a, B, pad, shape)
         if serial:
             # (Bp, *shape) -> (T, *shape, tile_b): serial lax.map tiles.
             a = a.reshape((T, tile_b) + shape)
@@ -1324,11 +1322,7 @@ def prep_subfused_data(data, B: int, tile_b: int = TILE_B):
     T = Bp // tile_b
 
     def prep(a, shape):
-        a = a.reshape((B,) + shape)
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
-        a = a.reshape((T, tile_b) + shape)
+        a = pad_batch(a, B, pad, shape).reshape((T, tile_b) + shape)
         return jnp.moveaxis(a, 1, -1)
 
     return (
@@ -1367,11 +1361,7 @@ def mpc_subproblem_fused(data_tiles, dims, xbar: Variable, itol_prev,
     T = Bp // tile_b
 
     def prep(a, shape):
-        a = a.reshape((B,) + shape)
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
-        a = a.reshape((T, tile_b) + shape)
+        a = pad_batch(a, B, pad, shape).reshape((T, tile_b) + shape)
         return jnp.moveaxis(a, 1, -1)
 
     zs = xbar.z.reshape(B, N1, ns)

@@ -392,6 +392,19 @@ def _newton_step_kernel(
 # Host-side wrapper.
 # ------------------------------------------------------------------
 
+def pad_batch(a, B, pad, shape):
+    """Reshape to (B, *shape) and replicate instance 0 to pad the batch
+    to a tile multiple. The single padding scheme shared by every
+    fused-kernel wrapper (here, ops/mpc_solve_pallas.py,
+    ops/dense_solve_pallas.py); the layout transform that follows —
+    serial tiles, grid lanes, or batch-last — stays at the call site."""
+    a = a.reshape((B,) + shape)
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+    return a
+
+
 def _to_bl(a):
     """batch-first (B, ...) -> batch-last (..., B)."""
     return jnp.moveaxis(a, 0, -1)
@@ -427,11 +440,7 @@ def riccati_newton_step_batched(data, v, y, vbar, rz, rl, rv, sigma,
     pad = Bp - B
 
     def prep(a, shape):
-        a = a.reshape((B,) + shape)
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
-        return _to_bl(a)
+        return _to_bl(pad_batch(a, B, pad, shape))
 
     # Stage matrices: when the caller pre-transposed them (MpcQPDataT built
     # outside the Newton loop), custom_vmap canonicalization has applied
