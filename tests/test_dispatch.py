@@ -1,0 +1,50 @@
+"""Kernel-dispatch gates: every reference benchmark plant must land on
+an engaged fused path (the round-1 gap was the copolymerization class
+falling off the kernel cliff onto the slow scan path — VERDICT.md item
+1). Pins the gate decisions so budget-model edits cannot silently
+de-route a problem class."""
+
+import jax.numpy as jnp
+import pytest
+
+import fbstab_tpu.models.mpc_qp as m
+from fbstab_tpu.models.ocp_fixtures import (
+    copolymerization_reactor,
+    double_integrator,
+    servo_motor,
+    spacecraft_relative_motion,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    # Gate decisions only; no kernels launch in this test.
+    monkeypatch.setattr(m, "PALLAS_MODE", "interpret")
+
+
+@pytest.mark.parametrize("plant,horizon,full,subfused", [
+    (double_integrator, 20, True, None),
+    (servo_motor, 25, True, None),
+    (spacecraft_relative_motion, 40, False, ("std", 128)),
+    (copolymerization_reactor, 80, False, ("lowmem", 128)),
+])
+def test_reference_plants_route_to_a_kernel(plant, horizon, full,
+                                            subfused):
+    data, _ = plant(horizon, dtype=jnp.float32)
+    N, nx, nu, nc = m.mpc_dims(data)
+    mode = m._kernel_mode(N, nx, nu, nc)
+    assert mode is not None, "plant fell off the kernel cliff"
+    on_full = m._state_rows(N, nx, nu, nc) <= m._FULL_SOLVE_ROWS_CAP
+    assert on_full == full
+    assert m._subfused_eligible(data, jnp.float32) == subfused
+    # The gate's modeled footprint (with spill) must fit the budget the
+    # kernels declare.
+    mb = m._fused_vmem_mb(N, nx, nu, nc, lowmem=(mode == "lowmem"))
+    assert mb * m._SUBFUSED_SPILL_FACTOR <= m._SUBFUSED_BUDGET_MB
+
+
+def test_smaller_tile_does_not_shrink_the_model():
+    """VMEM pads lanes to 128 (CLAUDE.md perf rule 7): the footprint
+    model must not reward smaller tiles."""
+    assert (m._fused_vmem_mb(30, 8, 3, 6, tile_b=32)
+            == m._fused_vmem_mb(30, 8, 3, 6, tile_b=128))
