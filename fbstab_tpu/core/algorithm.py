@@ -159,7 +159,9 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
                 (jnp.int32(0), jnp.asarray(1.0, dtype), jnp.bool_(False)))
 
             x_new = var_axpy(t, dx, x, b_vec)  # x <- x + t*dx (impl.h:298)
-            return x_new, buf, n_iters + 1, ~ok, t
+            # Count only successful Newton steps: the reference throws on
+            # factorization failure BEFORE newton_iters_++ (impl.h:263-275).
+            return x_new, buf, n_iters + ok.astype(n_iters.dtype), ~ok, t
 
         def skip_step(operand):
             x, merit_buf, n_iters = operand

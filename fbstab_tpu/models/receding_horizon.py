@@ -28,6 +28,7 @@ from fbstab_tpu.core.algorithm import fbstab_solve
 from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.models.mpc_qp import MPC_OPS, MpcQPData, mpc_dims
 from fbstab_tpu.options import Options
+from fbstab_tpu.utils.compile import vmem_jit
 
 
 def shift_warmstart(x: Variable, data: MpcQPData) -> Variable:
@@ -150,8 +151,13 @@ def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
                 (x_next, u, core.eflag, core.residual,
                  core.newton_iters, core.prox_iters))
 
-    _, (xs, us, eflags, residuals, newtons, proxs) = lax.scan(
-        step, (x0b, z0, l0, v0), None, length=T)
+    # Top-level compile carries the raised scoped-VMEM budget for the
+    # fused kernels inside the scan (utils/compile.py: the env channel
+    # alone is dropped by remote-compile tunnels). Under an outer jit
+    # this is a plain nested jit.
+    sweep = vmem_jit(lambda c: lax.scan(step, c, None, length=T))
+    _, (xs, us, eflags, residuals, newtons, proxs) = sweep(
+        (x0b, z0, l0, v0))
 
     tm = lambda a: jnp.moveaxis(a, 0, 1)          # time-major -> batch-major
     return ClosedLoopResult(

@@ -266,7 +266,9 @@ def _make_dense_kernel(n, q, nl, opts: Options):
                 xi_new = X((xi[0] + tm * dz, xi[1] + tm * dl,
                             xi[2] + tm * dv, xi[3] + tm * (dy - bb)))
 
-                ninfo_new = ninfo + step.astype(i32)
+                # Successful steps only (reference impl.h:263-275;
+                # matches core/algorithm.py).
+                ninfo_new = ninfo + (step & ok).astype(i32)
                 Eo_out = blend(active & ~idone, Eo_new, Eo)
                 idone_new = idone | (brk & active) | ~active
 

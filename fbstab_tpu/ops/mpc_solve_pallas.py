@@ -755,7 +755,10 @@ def _solve_subproblem(ctx, opts: Options, I_REFS, K_REFS,
                 xi[2] + tm * d[2], xi[3] + tm * d[3],
                 xi[4] + tm * (d[4] - bb))))
 
-        ninfo_new = ninfo + step.astype(jnp.int32)
+        # Only successful steps count (the reference throws before
+        # newton_iters_++ on factorization failure, impl.h:263-275;
+        # core/algorithm.py matches).
+        ninfo_new = ninfo + (step & ok).astype(jnp.int32)
         Eo_out = blend(active & ~idone, Eo_new, Eo)
         idone_new = idone | (brk & active) | ~active
 

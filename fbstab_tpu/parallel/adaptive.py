@@ -43,6 +43,8 @@ def reliable_leaning(options: Options) -> Options:
     o = options.validated()
     return dataclasses.replace(
         o,
+        sigma0=max(o.sigma0, 1e-4),
+        sigma_max=max(o.sigma_max, 1e-2),
         beta=max(o.beta, 0.9),
         max_linesearch_iters=max(o.max_linesearch_iters, 40),
         max_newton_iters=max(o.max_newton_iters, 200),
@@ -88,7 +90,15 @@ def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
     # (the padded lanes' results are dropped at scatter time).
     idx = jnp.nonzero(retry_mask, size=kp, fill_value=0)[0]
     take = lambda tree: jax.tree.map(lambda a: a[idx], tree)
-    sub_data = take(data)
+    # MpcQPDataT carries batch-LAST transposed leaves that axis-0
+    # gathering would corrupt: strip them and let the phase-2 dispatch
+    # rebuild its own transposes (once, outside its loops).
+    base_data = data
+    from fbstab_tpu.models.mpc_qp import MpcQPData, MpcQPDataT
+    if isinstance(data, MpcQPDataT):
+        base_data = MpcQPData(
+            **{f: getattr(data, f) for f in MpcQPData._fields})
+    sub_data = take(base_data)
     sub_x = take(x1)
 
     x2, core2 = solve_batch(sub_data, sub_x.z, sub_x.l, sub_x.v, opts2)
@@ -98,11 +108,14 @@ def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
     upd = lambda a, b: a.at[real].set(b[:k])
     x = jax.tree.map(upd, x1, x2)
     core = jax.tree.map(upd, core1, core2)
-    # Iteration counters accumulate across phases.
+    # Iteration counters accumulate across phases; the initial residual
+    # stays the one at the CALLER's guess (phase 1's E0), not the
+    # residual at the warmstarted phase-2 start.
     core = core._replace(
         newton_iters=core.newton_iters.at[real].add(
             core1.newton_iters[real]),
-        prox_iters=core.prox_iters.at[real].add(core1.prox_iters[real]))
+        prox_iters=core.prox_iters.at[real].add(core1.prox_iters[real]),
+        initial_residual=core1.initial_residual)
     return x, core
 
 

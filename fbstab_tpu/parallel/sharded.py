@@ -70,10 +70,12 @@ class BatchStats(NamedTuple):
 
 def batch_stats(core_out) -> BatchStats:
     """Reduces a batched CoreOut/SolverOut into BatchStats (jittable)."""
+    from fbstab_tpu.solver_out import ExitFlag
     eflag = core_out.eflag
     n = eflag.shape[0]
-    success = eflag == 0
-    infeas = (eflag >= 3) & (eflag <= 5)
+    success = eflag == int(ExitFlag.SUCCESS)
+    infeas = ((eflag >= int(ExitFlag.PRIMAL_INFEASIBLE))
+              & (eflag <= int(ExitFlag.PRIMAL_DUAL_INFEASIBLE)))
     return BatchStats(
         num_instances=jnp.asarray(n, jnp.int32),
         num_success=jnp.sum(success).astype(jnp.int32),
@@ -90,10 +92,24 @@ def batch_stats(core_out) -> BatchStats:
 def _make_sharded_solver(ops, mesh: Mesh, options: Options,
                          axis_name: str, with_stats: bool):
     spec = NamedSharding(mesh, PartitionSpec(axis_name))
+    is_mpc = ops is MPC_OPS
 
     def solve(data, z0, l0, v0):
+        if is_mpc:
+            # One-time batch-last stage-matrix copies, exactly like
+            # solve_mpc_qp_batch: the Newton-step kernel wants the batch
+            # in lanes, and transposing inside the Newton loop costs a
+            # strided HBM pass per iteration (mpc_qp.py, measured ~10x).
+            from fbstab_tpu.models.mpc_qp import (
+                _DATA_T_AXES, MpcQPDataT, with_transposed)
+            if not isinstance(data, MpcQPDataT):
+                data = with_transposed(data)
+            in_axes = (_DATA_T_AXES, 0, 0, 0)
+        else:
+            in_axes = (0, 0, 0, 0)
         x, core = jax.vmap(
-            lambda d, z, l, v: fbstab_solve(ops, d, z, l, v, options)
+            lambda d, z, l, v: fbstab_solve(ops, d, z, l, v, options),
+            in_axes=in_axes,
         )(data, z0, l0, v0)
         if with_stats:
             return x, core, batch_stats(core)
@@ -155,6 +171,13 @@ def sharded_mpc_solver_fused(mesh: Mesh, options: Options = Options(),
     spec4 = (PartitionSpec(axis_name),) * 4
 
     def local_solve(data, z0, l0, v0):
+        if tile_b is None and not interpret:
+            # Production path: the full per-shard dispatch, so large
+            # stage dims get the lowmem/staged/subfused tiers instead of
+            # a hard-coded std-mode kernel that would blow scoped VMEM.
+            from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+            return solve_mpc_qp_batch(data, z0, l0, v0, options)
+        # Explicit-knob path (tests / CPU interpret proxies).
         return fbstab_mpc_solve_fused(
             data, z0, l0, v0, options, interpret=interpret, tile_b=tb)
 
