@@ -230,12 +230,12 @@ def run_refine(B=None, steps=3):
 def run_copoly(B=None):
     """python bench.py copoly: the CopolymerizationReactor benchmark class
     (nx=18, nu=5, nc=10, N=80 — the reference's largest OCP,
-    ocp_generator.cc:73-169) through the lowmem Newton-step Pallas
-    kernel inside the XLA-orchestrated solver (the full-solve kernel
-    cannot compile at nx=18, see docs/ARCHITECTURE.md). Measured
-    3.8k QPs/s at B=512 — 2.1x the size-scaled target. Baseline: the
-    10k QPs/s north-star scaled by problem size (nz ratio
-    341/1863 -> 1830 QPs/s)."""
+    ocp_generator.cc:73-169) through the fused-subproblem tier in lowmem
+    mode (whole inner Newton loop in-kernel, XLA outer prox loop; the
+    full-solve kernel cannot compile at 4941 carried state rows, see
+    docs/ARCHITECTURE.md). Measured 5.7k QPs/s at B=512 — 3.1x the
+    size-scaled target. Baseline: the 10k QPs/s north-star scaled by
+    problem size (nz ratio 341/1863 -> 1830 QPs/s)."""
     import jax
     import jax.numpy as jnp
 
@@ -495,6 +495,62 @@ def run_warmstart(B=None, steps=8):
     }))
 
 
+def run_million(B=None, steps=None):
+    """python bench.py million: BASELINE.json config 5's workload VOLUME
+    on one chip — 1,048,576 warmstarted MPC QPs (8192 scenarios x 128
+    receding-horizon steps) streamed through the closed-loop driver on
+    the fused solver kernel. Config 5 spreads this over a v5p-16 slice;
+    instances are independent, so the per-chip stream measured here is
+    the unit the slice replicates (cf. `bench.py sharded` for the
+    shard-machinery overhead bound). Reports aggregate QPs/s and the
+    wall time for the full million."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.receding_horizon import simulate_batch
+    from fbstab_tpu.options import Options
+
+    platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    if B is None:
+        B = 64 if on_cpu else 8192
+    if steps is None:
+        steps = 4 if on_cpu else 128
+    N, nx, nu, nc = 30, 8, 3, 6
+    dtype = jnp.float32
+    opts = Options.single_precision()
+    dataB, _, _, _ = build_batch(B, N, nx, nu, nc, dtype)
+    shared = jax.tree.map(lambda a: a[0], dataB)   # shared plant/cost
+    x0s = dataB.x0
+
+    fn = _jit(lambda d, x0: simulate_batch(d, steps, x0, opts))
+    np.asarray(fn(shared, x0s).residual)       # compile + warm
+
+    t0 = time.perf_counter()
+    res = fn(shared, x0s * 1.0001)
+    np.asarray(res.residual)
+    elapsed = time.perf_counter() - t0
+    total = B * steps
+    qps = total / elapsed
+    success = float(np.mean(np.asarray(res.eflag) == 0))
+    # Transparency: closed-loop trajectories settle, so late steps
+    # converge in very few Newton iterations — report the distribution
+    # alongside the aggregate rate (step 0 is a cold solve; the rest are
+    # shift-warmstarted, the workload config 5 describes).
+    ni = np.asarray(res.newton_iters)
+    print(f"bench[million]: platform={platform} B={B} steps={steps} "
+          f"total={total} success={success:.3f} t={elapsed:.2f}s "
+          f"newton_iters mean={ni.mean():.2f} "
+          f"step0={ni[:, 0].mean():.1f} max={ni.max()}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "mpc_million_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "QPs/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
 def run_sparse(B=None, nz=400, nl=40, nv=200):
     """Secondary benchmark (python bench.py sparse): batched sparse QPs
     through the host-hybrid FBstabSparse path (native C LDL' + RCM) vs
@@ -625,16 +681,19 @@ def run_diff(B=None):
     }))
 
 
-def main():
-    import os
-
+def _setup_cache():
+    """Persistent compilation cache: the fused Pallas kernels have long
+    one-time Mosaic compiles; cache them across bench invocations."""
     import jax
 
-    # Persistent compilation cache: the fused Pallas kernel has a long
-    # one-time Mosaic compile; cache it across bench invocations.
     cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    import jax
+
     import jax.numpy as jnp
 
     from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
@@ -700,6 +759,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _setup_cache()
     if len(sys.argv) > 1 and sys.argv[1] == "dense":
         run_dense()
     elif len(sys.argv) > 1 and sys.argv[1] == "warmstart":
@@ -714,6 +774,8 @@ if __name__ == "__main__":
         run_copoly()
     elif len(sys.argv) > 1 and sys.argv[1] == "longhorizon":
         run_longhorizon()
+    elif len(sys.argv) > 1 and sys.argv[1] == "million":
+        run_million()
     elif len(sys.argv) > 1 and sys.argv[1] == "sparse":
         run_sparse()
     elif len(sys.argv) > 1 and sys.argv[1] == "diff":
