@@ -233,7 +233,7 @@ def run_copoly(B=None):
     ocp_generator.cc:73-169) through the fused-subproblem tier in lowmem
     mode (whole inner Newton loop in-kernel, XLA outer prox loop; the
     full-solve kernel cannot compile at 4941 carried state rows, see
-    docs/ARCHITECTURE.md). Measured 5.7k QPs/s at B=512 — 3.1x the
+    docs/ARCHITECTURE.md). Measured 7.1k QPs/s at B=2048 — 3.9x the
     size-scaled target. Baseline: the 10k QPs/s north-star scaled by
     problem size (nz ratio 341/1863 -> 1830 QPs/s)."""
     import jax
@@ -245,9 +245,12 @@ def run_copoly(B=None):
 
     platform = jax.devices()[0].platform
     if B is None:
-        # B=512 is the measured best operating point on TPU: larger
-        # batches pay a worse lockstep max-iteration tail on this class.
-        B = 16 if platform == "cpu" else 512
+        # Measured sweep on the subfused tier: 5,715 QPs/s at B=512,
+        # 7,135 at B=2048, 7,249 at B=4096 — throughput plateaus past
+        # 2048, which balances it against per-call latency. (The old
+        # Newton-step-kernel tier peaked at B=512; its lockstep
+        # max-iteration tail worsened with batch.)
+        B = 16 if platform == "cpu" else 2048
     dtype = jnp.float32
     opts = Options.single_precision()
     data, _ = ocp_fixtures.copolymerization_reactor(80, dtype=dtype)
