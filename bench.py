@@ -763,25 +763,20 @@ def main():
 
 if __name__ == "__main__":
     _setup_cache()
-    if len(sys.argv) > 1 and sys.argv[1] == "dense":
-        run_dense()
-    elif len(sys.argv) > 1 and sys.argv[1] == "warmstart":
-        run_warmstart()
-    elif len(sys.argv) > 1 and sys.argv[1] == "refine":
-        run_refine()
-    elif len(sys.argv) > 1 and sys.argv[1] == "adaptive":
-        run_adaptive()
-    elif len(sys.argv) > 1 and sys.argv[1] == "sharded":
-        run_sharded()
-    elif len(sys.argv) > 1 and sys.argv[1] == "copoly":
-        run_copoly()
-    elif len(sys.argv) > 1 and sys.argv[1] == "longhorizon":
-        run_longhorizon()
-    elif len(sys.argv) > 1 and sys.argv[1] == "million":
-        run_million()
-    elif len(sys.argv) > 1 and sys.argv[1] == "sparse":
-        run_sparse()
-    elif len(sys.argv) > 1 and sys.argv[1] == "diff":
-        run_diff()
+    _MODES = {
+        "dense": run_dense, "warmstart": run_warmstart,
+        "refine": run_refine, "adaptive": run_adaptive,
+        "sharded": run_sharded, "copoly": run_copoly,
+        "longhorizon": run_longhorizon, "million": run_million,
+        "sparse": run_sparse, "diff": run_diff,
+    }
+    if len(sys.argv) > 1:
+        mode = _MODES[sys.argv[1]]
+        # Optional batch-size override, e.g. `bench.py dense 32768`
+        # (`longhorizon` interprets it as the horizon N).
+        if len(sys.argv) > 2:
+            mode(int(sys.argv[2]))
+        else:
+            mode()
     else:
         main()
