@@ -178,13 +178,17 @@ def f64_pnr_np(data, z, l, v, alpha):
 
 
 def run_refine(B=None, steps=3):
-    """python bench.py refine: solve + mixed-precision polish to the
-    reference's 1e-6 accuracy contract, f64-verified on the host."""
+    """python bench.py refine: the refined-vs-raw comparison mode. Since
+    round 3 the DEFAULT dispatch already refines (Options.refine_steps on
+    f32 solves), so this mode measures the refinement increment: raw
+    solve (refine_steps=0) vs the integrated contract-grade solve, both
+    f64-verified on the host."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
-    from fbstab_tpu.models.refine import refine_mpc_batch
     from fbstab_tpu.options import Options
 
     platform = jax.devices()[0].platform
@@ -192,31 +196,37 @@ def run_refine(B=None, steps=3):
         B = 128 if platform == "cpu" else 8192
     N, nx, nu, nc = 30, 8, 3, 6
     dtype = jnp.float32
-    opts = Options.single_precision()
+    opts = dataclasses.replace(Options.single_precision(),
+                               refine_steps=steps)
+    opts_raw = dataclasses.replace(opts, refine_steps=0)
     data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
 
-    fs = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
-    fr = _jit(lambda d, x: refine_mpc_batch(d, x, opts, steps=steps))
+    fs = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts_raw))
+    fr = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
     x, core = fs(data, z0, l0, v0)
     np.asarray(core.residual)
-    refined, hist = fr(data, x)
-    np.asarray(hist[-1])
+    xr, corer = fr(data, z0, l0, v0)
+    np.asarray(corer.residual)
 
-    t0 = time.perf_counter()
-    x, core = fs(data, z0, l0, v0)
-    np.asarray(core.residual)
-    t_solve = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    refined, hist = fr(data, x)
-    np.asarray(hist[-1])
-    t_refine = time.perf_counter() - t0
+    def timeit(fn):
+        t0 = time.perf_counter()
+        _, c = fn(data, z0, l0, v0)
+        np.asarray(c.residual)
+        return time.perf_counter() - t0
 
-    sol = refined.to_float64()
+    t_raw = min(timeit(fs) for _ in range(3))
+    t_ref = min(timeit(fr) for _ in range(3))
+
+    sol = xr.to_float64()
     res64 = f64_pnr_np(data, sol.z, sol.l, sol.v, opts.alpha)
+    raw64 = f64_pnr_np(data, np.asarray(x.z, np.float64),
+                       np.asarray(x.l, np.float64),
+                       np.asarray(x.v, np.float64), opts.alpha)
     frac = float(np.mean(res64 <= 1e-6))
-    qps = B / (t_solve + t_refine)
+    qps = B / t_ref
     print(f"bench[refine]: platform={platform} B={B} steps={steps} "
-          f"t_solve={t_solve:.3f}s t_refine={t_refine:.3f}s "
+          f"t_raw={t_raw:.3f}s t_refined={t_ref:.3f}s "
+          f"raw med_res={np.median(raw64):.2e} "
           f"frac<=1e-6={frac:.3f} med_res={np.median(res64):.2e} "
           f"max_res={res64.max():.2e}", file=sys.stderr)
     print(json.dumps({
@@ -224,6 +234,10 @@ def run_refine(B=None, steps=3):
         "value": round(qps, 1),
         "unit": "QPs/s",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "residual_f64_max": float(res64.max()),
+        "residual_f64_frac_le_1e6": frac,
+        "refine_overhead_pct": round(100.0 * (t_ref - t_raw)
+                                     / max(t_raw, 1e-9), 1),
     }))
 
 
@@ -482,8 +496,10 @@ def run_warmstart(B=None, steps=8):
     res = fn(shared, x0s)                          # compile + warm
     np.asarray(res.residual)
 
+    x0p = x0s * 1.0001
+    np.asarray(x0p)            # materialize outside the timed window
     t0 = time.perf_counter()
-    res = fn(shared, x0s * 1.0001)
+    res = fn(shared, x0p)
     np.asarray(res.residual)
     elapsed = time.perf_counter() - t0
     qps = B * steps / elapsed
@@ -529,8 +545,10 @@ def run_million(B=None, steps=None):
     fn = _jit(lambda d, x0: simulate_batch(d, steps, x0, opts))
     np.asarray(fn(shared, x0s).residual)       # compile + warm
 
+    x0p = x0s * 1.0001
+    np.asarray(x0p)            # materialize outside the timed window
     t0 = time.perf_counter()
-    res = fn(shared, x0s * 1.0001)
+    res = fn(shared, x0p)
     np.asarray(res.residual)
     elapsed = time.perf_counter() - t0
     total = B * steps
@@ -684,6 +702,74 @@ def run_diff(B=None):
     }))
 
 
+def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
+                   tile_b=128):
+    """Auditable first-order performance model for the fused MPC solver
+    (VERDICT r2 item 9): per-solve FLOPs, sustained FLOP/s, and % of the
+    VPU instruction-issue bound, all derivable from this function + the
+    measured (newton_iters, t_solve) that ride the bench JSON.
+
+    Model: per Newton iteration the solver does one Riccati
+    factorization + one back-solve + ~2.5 residual evaluations (one KKT,
+    ~1.5 linesearch trials, measured average). FLOP terms follow the
+    recursion of riccati_linear_solver.cc:77-344 (2 flops per
+    multiply-add). The kernel executes these as unrolled column chains —
+    one VPU instruction per (rows<=8-sublane, 128-lane) column operand —
+    so the instruction count is ~ flops / (2 * nx) (each column op fuses
+    a multiply-add over an nx-row column for 128 instances). The issue
+    bound uses the measured ~12 ns per in-kernel vector op (CLAUDE.md
+    perf rule 4). Lockstep batches execute max-per-tile iterations, so
+    the measured time divides by the summed per-tile maxima.
+    """
+    N1 = N + 1
+    # FLOPs per Newton iteration per instance (leading terms, 2x for FMA).
+    f_hess = 2 * N1 * nc * (nx * nx + nu * nu + nu * nx)
+    f_factor = 2 * N1 * (
+        nx**3              # cho_inverse: 2 triangular solves, nx RHS
+        + nx**3 // 3       # chol(M)
+        + nx * nx * nu     # SM
+        + nu**3 // 3 + nu * nu * nx   # SG
+        + nx**3 // 2       # AM
+        + nx * nu * nx + nu * nu * nx  # P
+        + nx**3 // 3 + nx * nx * nu + nx**3 // 2)  # L_next
+    f_solve = 2 * N1 * (3 * nx * nx + 2 * nu * nx + nu * nu
+                        + 2 * nc * (nx + nu))
+    f_resid = 2 * N1 * (nx * nx + nu * nu + 2 * nu * nx   # H z
+                        + 2 * nx * nx                      # G z, G' l
+                        + 2 * nc * (nx + nu)               # A z, A' v
+                        + 6 * nc)                          # pfb row
+    flops_iter = f_hess + f_factor + f_solve + 2.5 * f_resid
+    # Refinement: per step one double-float KKT evaluation (~8x a plain
+    # residual) + one factor + solve.
+    flops_refine = refine_steps * (8 * f_resid + f_hess + f_factor
+                                   + f_solve)
+
+    ni = np.asarray(newton_iters, np.int64)
+    n_tiles = (B + tile_b - 1) // tile_b
+    per_tile_max = ni[: n_tiles * tile_b].reshape(n_tiles, -1).max(axis=1)
+    lockstep_iters = int(per_tile_max.sum())   # tile-iterations executed
+    flops_solve_mean = float(flops_iter * ni.mean() + flops_refine)
+    sustained = flops_solve_mean * (B / t_solve)
+
+    # Instruction-issue bound: column ops of ~2*nx flops each, 12 ns per
+    # op, times the lockstep tile-iterations actually executed.
+    ops_per_iter = flops_iter / (2 * nx)
+    t_issue_bound = (lockstep_iters * ops_per_iter
+                     + n_tiles * flops_refine / (2 * nx)) * 12e-9
+    return {
+        "flops_per_newton_iter": int(flops_iter),
+        "flops_per_solve_mean": int(flops_solve_mean),
+        "sustained_gflops": round(sustained / 1e9, 2),
+        "newton_iters_mean": round(float(ni.mean()), 2),
+        "lockstep_tile_iters": lockstep_iters,
+        "vpu_op_ns": 12.0,
+        "issue_bound_s": round(t_issue_bound, 4),
+        "measured_s": round(float(t_solve), 4),
+        "pct_of_issue_bound": round(100.0 * t_issue_bound
+                                    / max(float(t_solve), 1e-9), 1),
+    }
+
+
 def _setup_cache():
     """Persistent compilation cache: the fused Pallas kernels have long
     one-time Mosaic compiles; cache them across bench invocations."""
@@ -750,14 +836,35 @@ def main():
         times.append(time.perf_counter() - t0)
 
     qps = B / min(times)
+
+    # Contract verification (outside the timed window): the returned
+    # solution is a double-float pair (refine_steps=3 is the f32 product
+    # default); recompute its penalized natural residual entirely in
+    # host float64.
+    if hasattr(x, "to_float64"):
+        sol = x.to_float64()
+        res64 = f64_pnr_np(fresh, sol.z, sol.l, sol.v, opts.alpha)
+    else:  # refinement disabled (non-default options)
+        res64 = f64_pnr_np(fresh, np.asarray(x.z, np.float64),
+                           np.asarray(x.l, np.float64),
+                           np.asarray(x.v, np.float64), opts.alpha)
+    frac_1e6 = float(np.mean(res64 <= 1e-6))
+    pm = mpc_perf_model(B, N, nx, nu, nc, core.newton_iters, min(times),
+                        opts.refine_steps)
+
     print(f"bench: platform={platform} B={B} N={N} nx={nx} nu={nu} nc={nc} "
-          f"success={success:.3f} times={['%.3f' % t for t in times]}",
-          file=sys.stderr)
+          f"success={success:.3f} times={['%.3f' % t for t in times]} "
+          f"res64 med={np.median(res64):.2e} max={res64.max():.2e} "
+          f"frac<=1e-6={frac_1e6:.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": "mpc_qps_per_chip",
         "value": round(qps, 1),
         "unit": "QPs/s",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "success_frac": round(success, 4),
+        "residual_f64_max": float(res64.max()),
+        "residual_f64_frac_le_1e6": frac_1e6,
+        "perf_model": pm,
     }))
 
 
@@ -771,7 +878,11 @@ if __name__ == "__main__":
         "sparse": run_sparse, "diff": run_diff,
     }
     if len(sys.argv) > 1:
-        mode = _MODES[sys.argv[1]]
+        mode = _MODES.get(sys.argv[1])
+        if mode is None:
+            print(f"bench.py: unknown mode {sys.argv[1]!r}; valid modes: "
+                  + ", ".join(sorted(_MODES)), file=sys.stderr)
+            sys.exit(2)
         # Optional batch-size override, e.g. `bench.py dense 32768`
         # (`longhorizon` interprets it as the horizon N).
         if len(sys.argv) > 2:

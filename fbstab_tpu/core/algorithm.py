@@ -50,13 +50,20 @@ NONMONOTONE_DEPTH = 5
 
 
 class CoreOut(NamedTuple):
-    """Traced portion of SolverOut (solve_time is added by the facades)."""
+    """Traced portion of SolverOut (solve_time is added by the facades).
+
+    `raw_residual` equals `residual` out of the core solver; the batch
+    dispatchers overwrite `residual` with the double-float-verified value
+    when mixed-precision refinement is engaged (Options.refine_steps) and
+    keep the solver's own value here.
+    """
 
     eflag: jnp.ndarray
     residual: jnp.ndarray
     newton_iters: jnp.ndarray
     prox_iters: jnp.ndarray
     initial_residual: jnp.ndarray
+    raw_residual: jnp.ndarray
 
 
 def _select_tree(pred, a, b):
@@ -396,5 +403,6 @@ def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
         newton_iters=final.newton_iters,
         prox_iters=final.prox_iters,
         initial_residual=E0,
+        raw_residual=out_res,
     )
     return out_x, out

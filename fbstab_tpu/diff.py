@@ -153,6 +153,13 @@ def make_differentiable_batch_solver(ops: ProblemOps, batch_solve,
     @jax.custom_vjp
     def solve(data, z0, l0, v0):
         x, _ = batch_solve(data, z0, l0, v0, options)
+        from fbstab_tpu.models.refine import VariableDF
+        if isinstance(x, VariableDF):
+            # Refinement engaged (options.refine_steps on f32): the f32
+            # view of the polished point is the most accurate primal the
+            # implicit backward can consume (the lo parts are below the
+            # f32 gradient noise floor).
+            x = x.hi()
         return x.z, x.l, x.v
 
     def fwd(data, z0, l0, v0):

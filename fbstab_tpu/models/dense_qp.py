@@ -243,16 +243,29 @@ def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
     leading batch dimension. Masked-lockstep semantics via vmapped
     while_loops (the reference has no batch mode; this is the TPU 'DP'
     analog, SURVEY.md section 2). On TPU, f32 batches dispatch to the
-    fully fused Pallas solver kernel (ops/dense_solve_pallas.py)."""
+    fully fused Pallas solver kernel (ops/dense_solve_pallas.py).
+
+    When `options.refine_steps > 0` on an f32 solve (the
+    `Options.single_precision()` default), converged instances are
+    polished by mixed-precision refinement and the returned solution is
+    a `VariableDF` double-float pair meeting the reference's 1e-6
+    accuracy contract (see solve_mpc_qp_batch)."""
     if _fused_dense_eligible(data, z0.dtype):
         from fbstab_tpu.ops.dense_solve_pallas import (
             fbstab_dense_solve_fused)
-        return fbstab_dense_solve_fused(
+        x, core = fbstab_dense_solve_fused(
             data, z0, l0, v0, options,
             interpret=(PALLAS_MODE == "interpret"))
-    return jax.vmap(
-        lambda d, z, l, v: fbstab_solve(DENSE_OPS, d, z, l, v, options)
-    )(data, z0, l0, v0)
+    else:
+        x, core = jax.vmap(
+            lambda d, z, l, v: fbstab_solve(DENSE_OPS, d, z, l, v, options)
+        )(data, z0, l0, v0)
+    opts = options.validated()
+    from fbstab_tpu.models.refine import refine_engaged
+    if refine_engaged(opts, z0.dtype):
+        from fbstab_tpu.models.refine import refine_solution_dense
+        return refine_solution_dense(data, x, core, opts)
+    return x, core
 
 
 # ------------------------------------------------------------------
@@ -298,9 +311,15 @@ class FBstabDense:
         if self._compiled is None:
             opts = self._options
             from fbstab_tpu.utils.compile import tpu_compiler_options
+
+            def f(d, z, l, v):
+                x, core = fbstab_solve(DENSE_OPS, d, z, l, v, opts)
+                from fbstab_tpu.models.refine import maybe_refine_single
+                return maybe_refine_single(
+                    "dense", d, x, core, opts, z.dtype)
+
             self._compiled = jax.jit(
-                lambda d, z, l, v: fbstab_solve(DENSE_OPS, d, z, l, v, opts),
-                compiler_options=tpu_compiler_options())
+                f, compiler_options=tpu_compiler_options())
         return self._compiled
 
     def solve(self, data: DenseQPData, x0: Optional[Variable] = None
@@ -327,7 +346,8 @@ class FBstabDense:
             eflag=core.eflag, residual=core.residual,
             newton_iters=core.newton_iters, prox_iters=core.prox_iters,
             solve_time=jnp.asarray(elapsed),
-            initial_residual=core.initial_residual)
+            initial_residual=core.initial_residual,
+            raw_residual=core.raw_residual)
         self._maybe_print_final(out, data, x)
         return x, out
 
@@ -356,6 +376,9 @@ class FBstabDense:
         # iterate — documented deviation.)
         from fbstab_tpu.core.residuals import (
             penalized_natural_residual, residual_block_norms)
+        from fbstab_tpu.models.refine import VariableDF
+        if isinstance(x, VariableDF):
+            x = x.hi()
         bn = residual_block_norms(penalized_natural_residual(
             DENSE_OPS, data, x, self._options.alpha))
         combo = float(self._options.abs_tol + self._options.rel_tol

@@ -872,29 +872,32 @@ def _subfused_eligible(data: MpcQPData, dtype):
     return None
 
 
-def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
-                       options: Options = Options(),
-                       riccati: str = "scan"):
-    """Batched MPC solve: leading batch axis on every data array and guess.
-    The TPU 'DP' analog of running one solver per control loop
-    (SURVEY.md section 2).
+def _auto_batch_riccati(data: MpcQPData, dtype, backend=None) -> str:
+    """Shape-based batch dispatch policy (riccati='auto'):
 
-    Dispatch, fastest first:
-     1. the fully fused Pallas solver kernel (TPU + f32, VMEM-fitting
-        stage dims) — the whole algorithm in one kernel per
-        128-instance tile;
-     2. the fused-subproblem tier (large stage dims such as the
-        CopolymerizationReactor class, whose carried state spills the
-        full-solve kernel): one kernel launch per proximal subproblem,
-        XLA outer loop;
-     3. vmap of the XLA-orchestrated solver, whose Newton step is the
-        fused Riccati kernel via custom_vmap (TPU) or the lax.scan path
-        (CPU / f64).
+     - within the fused-kernel envelope (`_kernel_mode` not None), the
+       scan-ops path is right: eligible batches land on a fused tier and
+       the rest engage the Newton-step kernel via custom_vmap;
+     - beyond it (N > 160, nx > 32, or past the VMEM model) the vmapped
+       sequential scan is the ~143 QPs/s cliff the batched parallel
+       (associative-scan) Riccati exists to avoid: on TPU f32 it is the
+       documented fallback (measured 2.6x the scan on copoly-class
+       shapes; see docs/ARCHITECTURE.md), on CPU it wins only at long
+       horizons (crossover near N=ASSOC_MIN_HORIZON).
+    """
+    N, nx, nu, nc = mpc_dims(data)
+    if _kernel_mode(N, nx, nu, nc) is not None:
+        return "scan"
+    backend = backend or jax.default_backend()
+    if backend == "tpu" and dtype == jnp.float32:
+        return "assoc"
+    return "assoc" if N >= ASSOC_MIN_HORIZON else "scan"
 
-    riccati: 'scan' (default; eligible batches use the fused kernels),
-    or 'assoc' to force the parallel associative-scan Riccati Newton
-    step (vmapped) — for very long horizons that are not kernel
-    eligible."""
+
+def _solve_mpc_qp_batch_raw(data: MpcQPData, z0, l0, v0,
+                            options: Options, riccati: str):
+    if riccati == "auto":
+        riccati = _auto_batch_riccati(data, z0.dtype)
     if riccati == "assoc":
         if not isinstance(data, MpcQPDataT):
             data = with_transposed(data)
@@ -903,6 +906,9 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
                 MPC_OPS_ASSOC, d, z, l, v, options),
             in_axes=(_DATA_T_AXES, 0, 0, 0),
         )(data, z0, l0, v0)
+    if riccati != "scan":
+        raise ValueError(
+            f"riccati must be 'auto', 'scan' or 'assoc', got {riccati!r}")
     mode = _fused_solve_eligible(data, z0.dtype)
     if mode is not None:
         from fbstab_tpu.ops.mpc_solve_pallas import fbstab_mpc_solve_fused
@@ -926,6 +932,50 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
         lambda d, z, l, v: fbstab_solve(MPC_OPS, d, z, l, v, options),
         in_axes=(_DATA_T_AXES, 0, 0, 0),
     )(data, z0, l0, v0)
+
+
+def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
+                       options: Options = Options(),
+                       riccati: str = "auto"):
+    """Batched MPC solve: leading batch axis on every data array and guess.
+    The TPU 'DP' analog of running one solver per control loop
+    (SURVEY.md section 2).
+
+    Dispatch, fastest first:
+     1. the fully fused Pallas solver kernel (TPU + f32, VMEM-fitting
+        stage dims) — the whole algorithm in one kernel per
+        128-instance tile;
+     2. the fused-subproblem tier (large stage dims such as the
+        CopolymerizationReactor class, whose carried state spills the
+        full-solve kernel): one kernel launch per proximal subproblem,
+        XLA outer loop;
+     3. vmap of the XLA-orchestrated solver, whose Newton step is the
+        fused Riccati kernel via custom_vmap (TPU) or the lax.scan path
+        (CPU / f64);
+     4. beyond the kernel envelope (N > 160 / nx > 32 / past the VMEM
+        model), the batched parallel associative-scan Riccati
+        (riccati='auto' policy, `_auto_batch_riccati`).
+
+    riccati: 'auto' (default, the policy above), 'scan' (force the
+    sequential-recursion ops; eligible batches still use the fused
+    kernels), or 'assoc' (force the parallel associative-scan Riccati
+    Newton step, vmapped batch-last).
+
+    When `options.refine_steps > 0` on an f32 solve (the
+    `Options.single_precision()` default), converged instances are
+    polished by mixed-precision iterative refinement and the returned
+    solution is a `VariableDF` double-float pair meeting the reference's
+    1e-6 accuracy contract (`.hi()` gives the f32 Variable view);
+    `CoreOut.residual` is then the double-float-verified value and
+    `CoreOut.raw_residual` the solver's own f32 one. With refinement off
+    the solution is a plain f32/f64 `Variable`."""
+    x, core = _solve_mpc_qp_batch_raw(data, z0, l0, v0, options, riccati)
+    opts = options.validated()
+    from fbstab_tpu.models.refine import refine_engaged
+    if refine_engaged(opts, z0.dtype):
+        from fbstab_tpu.models.refine import refine_solution_mpc
+        return refine_solution_mpc(data, x, core, opts)
+    return x, core
 
 
 # ------------------------------------------------------------------
@@ -974,9 +1024,15 @@ class FBstabMpc:
         if self._compiled is None:
             opts = self._options
             from fbstab_tpu.utils.compile import tpu_compiler_options
+
+            def f(d, z, l, v):
+                x, core = fbstab_solve(MPC_OPS, d, z, l, v, opts)
+                from fbstab_tpu.models.refine import maybe_refine_single
+                return maybe_refine_single(
+                    "mpc", d, x, core, opts, z.dtype)
+
             self._compiled = jax.jit(
-                lambda d, z, l, v: fbstab_solve(MPC_OPS, d, z, l, v, opts),
-                compiler_options=tpu_compiler_options())
+                f, compiler_options=tpu_compiler_options())
         return self._compiled
 
     def solve(self, data: MpcQPData, x0: Optional[Variable] = None
@@ -1001,7 +1057,8 @@ class FBstabMpc:
             eflag=core.eflag, residual=core.residual,
             newton_iters=core.newton_iters, prox_iters=core.prox_iters,
             solve_time=jnp.asarray(elapsed),
-            initial_residual=core.initial_residual)
+            initial_residual=core.initial_residual,
+            raw_residual=core.raw_residual)
         self._maybe_print_final(out, data, x)
         return x, out
 
@@ -1027,6 +1084,9 @@ class FBstabMpc:
             return
         from fbstab_tpu.core.residuals import (
             penalized_natural_residual, residual_block_norms)
+        from fbstab_tpu.models.refine import VariableDF
+        if isinstance(x, VariableDF):
+            x = x.hi()
         bn = residual_block_norms(penalized_natural_residual(
             MPC_OPS, data, x, self._options.alpha))
         combo = float(self._options.abs_tol + self._options.rel_tol

@@ -209,5 +209,6 @@ def fbstab_mpc_solve_subfused(data, z0, l0, v0, options: Options,
         newton_iters=final["newton_iters"],
         prox_iters=final["prox_iters"],
         initial_residual=E0,
+        raw_residual=out_res,
     )
     return out_x, out

@@ -140,6 +140,13 @@ def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
         xk, gz, gl, gv = carry
         d = batch._replace(x0=xk)
         sol, core = solve_mpc_qp_batch(d, gz, gl, gv, opts)
+        # With refinement engaged (opts.refine_steps on f32) the solution
+        # is a double-float pair; the f32 view is all the next warmstart
+        # needs, while core.residual reports the refined (contract-grade)
+        # per-step value.
+        from fbstab_tpu.models.refine import VariableDF
+        if isinstance(sol, VariableDF):
+            sol = sol.hi()
         u = sol.z.reshape(B, N + 1, ns)[:, 0, nx:]
         x_next = (jnp.einsum("ij,bj->bi", data.A[0], xk)
                   + jnp.einsum("ij,bj->bi", data.B[0], u) + data.c[0])

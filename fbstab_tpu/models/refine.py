@@ -35,6 +35,7 @@ from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.models import mpc_qp as _mpc
 from fbstab_tpu.models.mpc_qp import MpcQPData, mpc_dims
 from fbstab_tpu.options import Options
+from fbstab_tpu.solver_out import ExitFlag
 from fbstab_tpu.ops.doublefloat import (
     df,
     df_add,
@@ -299,3 +300,73 @@ def refine_dense_batch(data, x: Variable, options: Options = Options(),
         history.append(_dense_pnr_norm_df(data, z, l, v, y, alpha))
 
     return VariableDF(z=z, l=l, v=v, y=y), jnp.stack(history)
+
+
+# ------------------------------------------------------------------
+# Product-path integration: the batch dispatchers call these when
+# Options.refine_steps > 0 on an f32 solve (the single_precision default),
+# making the reference's 1e-6 accuracy contract the default TPU behavior
+# rather than an opt-in (round-3 item; fbstab_algorithm-impl.h:43-44).
+# ------------------------------------------------------------------
+
+def refine_engaged(options: Options, dtype) -> bool:
+    """Whether the dispatchers should polish this solve. f32 only: the f64
+    path meets the contract natively, and the double-float carry assumes
+    two-f32 arithmetic."""
+    return options.refine_steps > 0 and dtype == jnp.float32
+
+
+def _splice_df(refined: VariableDF, x: Variable, good) -> VariableDF:
+    """Refined double-float point on `good` lanes; the solver's own point
+    (lo = 0) elsewhere. Non-SUCCESS lanes must pass through untouched —
+    an infeasibility exit returns a CERTIFICATE, not a solution
+    (fbstab_algorithm-impl.h:209), and polishing it toward a KKT point
+    would corrupt it."""
+    g = good[:, None]
+    pick = lambda p, raw: (jnp.where(g, p[0], raw),
+                           jnp.where(g, p[1], jnp.zeros_like(raw)))
+    return VariableDF(z=pick(refined.z, x.z), l=pick(refined.l, x.l),
+                      v=pick(refined.v, x.v), y=pick(refined.y, x.y))
+
+
+def _refine_core(core, res_hist, good):
+    res = jnp.where(good, res_hist[-1].astype(core.residual.dtype),
+                    core.residual)
+    return core._replace(residual=res, raw_residual=core.residual)
+
+
+def refine_solution_mpc(data, x: Variable, core, options: Options
+                        ) -> tuple[VariableDF, object]:
+    """Polishes SUCCESS lanes of a batched MPC solve and rewrites the
+    CoreOut: `residual` becomes the double-float-verified penalized
+    natural residual at the refined point, `raw_residual` keeps the
+    solver's f32 value. Jittable; shard_map-safe (no collectives)."""
+    opts = options.validated()
+    refined, hist = refine_mpc_batch(data, x, opts, steps=opts.refine_steps)
+    good = core.eflag == int(ExitFlag.SUCCESS)
+    return _splice_df(refined, x, good), _refine_core(core, hist, good)
+
+
+def refine_solution_dense(data, x: Variable, core, options: Options
+                          ) -> tuple[VariableDF, object]:
+    """Dense-QP analog of refine_solution_mpc."""
+    opts = options.validated()
+    refined, hist = refine_dense_batch(data, x, opts,
+                                       steps=opts.refine_steps)
+    good = core.eflag == int(ExitFlag.SUCCESS)
+    return _splice_df(refined, x, good), _refine_core(core, hist, good)
+
+
+def maybe_refine_single(kind: str, data, x: Variable, core,
+                        options: Options, dtype):
+    """Single-instance refinement hook for the FBstabDense / FBstabMpc
+    facades: batches the instance, reuses the batched refinement path,
+    and unbatches. A no-op (returns the inputs) unless refine_engaged."""
+    opts = options.validated()
+    if not refine_engaged(opts, dtype):
+        return x, core
+    bat = lambda t: jax.tree.map(lambda a: a[None], t)
+    unbat = lambda t: jax.tree.map(lambda a: a[0], t)
+    fn = refine_solution_mpc if kind == "mpc" else refine_solution_dense
+    xb, coreb = fn(bat(data), bat(x), bat(core), opts)
+    return unbat(xb), unbat(coreb)

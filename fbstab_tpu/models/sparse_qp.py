@@ -705,7 +705,8 @@ class FBstabSparse:
             eflag=core.eflag, residual=core.residual,
             newton_iters=core.newton_iters, prox_iters=core.prox_iters,
             solve_time=jnp.asarray(elapsed),
-            initial_residual=core.initial_residual)
+            initial_residual=core.initial_residual,
+            raw_residual=core.raw_residual)
         self._maybe_print_final(out, data, x)
         return x, out
 

@@ -495,8 +495,9 @@ def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
     x = Variable(
         z=unprep(outs[0], n), l=l,
         v=unprep(outs[2], q), y=unprep(outs[3], q))
+    res = unprep(outs[5], 0)
     core = CoreOut(
-        eflag=unprep(outs[4], 0), residual=unprep(outs[5], 0),
+        eflag=unprep(outs[4], 0), residual=res,
         newton_iters=unprep(outs[6], 0), prox_iters=unprep(outs[7], 0),
-        initial_residual=unprep(outs[8], 0))
+        initial_residual=unprep(outs[8], 0), raw_residual=res)
     return x, core

@@ -1236,10 +1236,11 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
     z, l, v, y = (unprep(outs[0], N1 * ns), unprep(outs[1], N1 * nx),
                   unprep(outs[2], N1 * nc), unprep(outs[3], N1 * nc))
     x = Variable(z=z, l=l, v=v, y=y)
+    res = unprep(outs[5], 0)
     core = CoreOut(
-        eflag=unprep(outs[4], 0), residual=unprep(outs[5], 0),
+        eflag=unprep(outs[4], 0), residual=res,
         newton_iters=unprep(outs[6], 0), prox_iters=unprep(outs[7], 0),
-        initial_residual=unprep(outs[8], 0))
+        initial_residual=unprep(outs[8], 0), raw_residual=res)
     return x, core
 
 

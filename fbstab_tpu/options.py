@@ -76,6 +76,20 @@ class Options:
     # solves.
     inner_stall_tol: float = 0.0
 
+    # TPU-native extension: mixed-precision iterative-refinement steps
+    # applied to float32 solves by the batch dispatchers / facades
+    # (models/refine.py). Each step evaluates the KKT residual in
+    # double-float (two-f32 compensated) arithmetic and applies one f32
+    # fused-Newton correction; the iterate is carried as a double-float
+    # pair. This is how the f32 TPU path meets the reference's default
+    # 1e-6 accuracy contract (fbstab_algorithm-impl.h:43-44): the raw f32
+    # path floors at ~1e-5 (evaluation roundoff) and even the f32-ROUNDED
+    # refined point floors at ~5e-6 (representation error, measured on
+    # v5e) — the returned double-float pair reaches <= 4.5e-7 at 3 steps
+    # on the bench workload, f64-host-verified. 0 disables refinement;
+    # the single_precision profile defaults to 3.
+    refine_steps: int = 0
+
     def validated(self) -> "Options":
         """Returns a copy with every field saturated into its documented safe
         range (reference: AlgorithmParameters::ValidateOptions,
@@ -105,6 +119,7 @@ class Options:
             max_inner_iters=max(self.max_inner_iters, 1),
             max_linesearch_iters=max(self.max_linesearch_iters, 1),
             inner_stall_tol=_saturate(self.inner_stall_tol, 0.0, 0.5),
+            refine_steps=int(_saturate(self.refine_steps, 0, 12)),
         )
 
     @staticmethod
@@ -128,6 +143,13 @@ class Options:
         and stall_tol 1e-7 so f32-stalled iterates exit SUCCESS instead of
         burning the Newton budget (stall exits are SUCCESS in the
         reference too, fbstab_algorithm-impl.h:162-169).
+
+        refine_steps = 3: the batch dispatchers polish converged f32
+        solutions with mixed-precision iterative refinement so the
+        returned (double-float) solution meets the reference's default
+        1e-6 accuracy contract — the product default on TPU, not an
+        opt-in (measured <= 4.5e-7 max over the 8192-QP bench batch,
+        f64-host-verified).
         """
         return dataclasses.replace(
             Options(),
@@ -140,6 +162,7 @@ class Options:
             infeas_tol=1e-6,
             inner_tol_min=1e-7,
             inner_stall_tol=1e-3,
+            refine_steps=3,
         )
 
     @staticmethod

@@ -56,7 +56,8 @@ def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
                          options: Options,
                          phase1_newton_iters: int = 25,
                          pad_multiple: int = 128,
-                         phase2_options: Optional[Options] = None):
+                         phase2_options: Optional[Options] = None,
+                         refine_fn: Optional[Callable] = None):
     """Two-phase batched solve through a class dispatcher.
 
     solve_batch: (data, z0, l0, v0, options) -> (Variable, CoreOut) — use
@@ -66,11 +67,27 @@ def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
     phase 1; stragglers get `phase2_options` (reliable-leaning by
     default). `pad_multiple` keeps phase-2 shapes tile-friendly and
     bounds recompilation.
+
+    Mixed-precision refinement (options.refine_steps on f32) is deferred
+    to AFTER both phases — polishing phase-1 results that phase 2 is
+    about to re-solve would be wasted — and applied through `refine_fn`
+    (the class wrappers pass refine_solution_mpc / refine_solution_dense),
+    returning the same VariableDF/CoreOut contract as the one-shot
+    dispatchers.
     """
     opts1 = dataclasses.replace(
-        options.validated(), max_newton_iters=phase1_newton_iters)
+        options.validated(), max_newton_iters=phase1_newton_iters,
+        refine_steps=0)
     opts2 = (phase2_options.validated() if phase2_options is not None
              else reliable_leaning(options))
+    opts2 = dataclasses.replace(opts2, refine_steps=0)
+
+    def finish(x, core):
+        opts = options.validated()
+        from fbstab_tpu.models.refine import refine_engaged
+        if refine_fn is not None and refine_engaged(opts, z0.dtype):
+            return refine_fn(data, x, core, opts)
+        return x, core
 
     x1, core1 = solve_batch(data, z0, l0, v0, opts1)
 
@@ -81,7 +98,7 @@ def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
                   | (core1.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)))
     k = int(jnp.sum(retry_mask))          # the one scalar host sync
     if k == 0:
-        return x1, core1
+        return finish(x1, core1)
     B = core1.eflag.shape[0]
     kp = min(-(-k // pad_multiple) * pad_multiple, B) if pad_multiple > 1 \
         else k
@@ -116,22 +133,26 @@ def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
             core1.newton_iters[real]),
         prox_iters=core.prox_iters.at[real].add(core1.prox_iters[real]),
         initial_residual=core1.initial_residual)
-    return x, core
+    return finish(x, core)
 
 
 def solve_mpc_qp_batch_adaptive(data, z0, l0, v0, options: Options,
                                 **kwargs):
     """Adaptive two-phase MPC batch solve on the fused dispatch path."""
     from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.models.refine import refine_solution_mpc
 
     return solve_batch_adaptive(
-        solve_mpc_qp_batch, data, z0, l0, v0, options, **kwargs)
+        solve_mpc_qp_batch, data, z0, l0, v0, options,
+        refine_fn=refine_solution_mpc, **kwargs)
 
 
 def solve_dense_qp_batch_adaptive(data, z0, l0, v0, options: Options,
                                   **kwargs):
     """Adaptive two-phase dense batch solve on the fused dispatch path."""
     from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
+    from fbstab_tpu.models.refine import refine_solution_dense
 
     return solve_batch_adaptive(
-        solve_dense_qp_batch, data, z0, l0, v0, options, **kwargs)
+        solve_dense_qp_batch, data, z0, l0, v0, options,
+        refine_fn=refine_solution_dense, **kwargs)

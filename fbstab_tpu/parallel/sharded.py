@@ -111,6 +111,12 @@ def _make_sharded_solver(ops, mesh: Mesh, options: Options,
             lambda d, z, l, v: fbstab_solve(ops, d, z, l, v, options),
             in_axes=in_axes,
         )(data, z0, l0, v0)
+        from fbstab_tpu.models.refine import refine_engaged
+        if refine_engaged(options.validated(), z0.dtype):
+            from fbstab_tpu.models.refine import (
+                refine_solution_dense, refine_solution_mpc)
+            refine = refine_solution_mpc if is_mpc else refine_solution_dense
+            x, core = refine(data, x, core, options.validated())
         if with_stats:
             return x, core, batch_stats(core)
         return x, core

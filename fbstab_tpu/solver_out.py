@@ -36,6 +36,11 @@ class SolverOut(NamedTuple):
     batched arrays. `solve_time` is wall-clock seconds measured by the
     (non-traced) facade; -1.0 means timing unavailable, matching the
     reference's convention.
+
+    When mixed-precision refinement is engaged (Options.refine_steps > 0 on
+    an f32 solve), `residual` is the double-float-verified penalized natural
+    residual at the refined solution and `raw_residual` keeps the solver's
+    own (f32-floored) value; otherwise the two are equal.
     """
 
     eflag: jnp.ndarray           # int32, ExitFlag value
@@ -44,3 +49,5 @@ class SolverOut(NamedTuple):
     prox_iters: jnp.ndarray      # int32
     solve_time: jnp.ndarray      # seconds; -1.0 when timing disabled
     initial_residual: jnp.ndarray
+    raw_residual: jnp.ndarray    # pre-refinement residual (== residual
+                                 # when refinement is off)

@@ -76,7 +76,8 @@ def test_batch_final_summary():
         residual=jnp.asarray([1e-9, 2e-9, 1.0, 0.5]),
         newton_iters=jnp.asarray([5, 7, 20, 60]),
         prox_iters=jnp.asarray([2, 2, 10, 30]),
-        initial_residual=jnp.asarray([1.0, 1.0, 1.0, 1.0]))
+        initial_residual=jnp.asarray([1.0, 1.0, 1.0, 1.0]),
+        raw_residual=jnp.asarray([1e-9, 2e-9, 1.0, 0.5]))
     sink = Sink()
     print_batch_final(core, Options(display_level=Display.FINAL), sink)
     text = "".join(sink.buf)

@@ -33,12 +33,19 @@ def test_f32_f64_consistency_mpc():
         v0.astype(jnp.float32), opts32)
     assert np.all(np.asarray(core32.eflag) == int(ExitFlag.SUCCESS))
 
-    gap = np.max(np.abs(np.asarray(x32.z, np.float64) - np.asarray(x64.z)))
+    # The f32 product default refines: the returned solution is a
+    # double-float pair whose residual meets the 1e-6 contract, so the
+    # primal gap to the f64 oracle tightens far below the raw f32 band.
+    from fbstab_tpu.models.refine import VariableDF
+    assert isinstance(x32, VariableDF)
+    assert np.all(np.asarray(core32.residual)
+                  <= np.asarray(core32.raw_residual) + 1e-12)
+    sol32 = x32.to_float64()
+    gap = np.max(np.abs(sol32.z - np.asarray(x64.z)))
     scale = 1.0 + np.max(np.abs(np.asarray(x64.z)))
-    # f32 stationarity at abs_tol 1e-4 implies a primal gap ~ tol/mu;
-    # 30x abs_tol is a loose but meaningful band (catches wrong active
-    # sets / divergent iterates, tolerates roundoff).
     assert gap / scale < 30 * opts32.abs_tol, f"gap {gap:.2e}"
+    # Refined accuracy: within a small multiple of the 1e-6 contract.
+    assert gap / scale < 1e-4, f"refined gap {gap:.2e}"
 
 
 def test_f32_f64_consistency_dense():
@@ -55,9 +62,13 @@ def test_f32_f64_consistency_dense():
         to32(data64), z0.astype(jnp.float32), l0.astype(jnp.float32),
         v0.astype(jnp.float32), opts32)
     assert np.all(np.asarray(core32.eflag) == int(ExitFlag.SUCCESS))
-    gap = np.max(np.abs(np.asarray(x32.z, np.float64) - np.asarray(x64.z)))
+    from fbstab_tpu.models.refine import VariableDF
+    assert isinstance(x32, VariableDF)
+    sol32 = x32.to_float64()
+    gap = np.max(np.abs(sol32.z - np.asarray(x64.z)))
     scale = 1.0 + np.max(np.abs(np.asarray(x64.z)))
     assert gap / scale < 30 * opts32.abs_tol, f"gap {gap:.2e}"
+    assert gap / scale < 1e-4, f"refined gap {gap:.2e}"
 
 
 def test_nan_data_surfaces_as_failure_not_nan_output():
