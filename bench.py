@@ -702,6 +702,95 @@ def run_diff(B=None):
     }))
 
 
+def run_plants(B=None):
+    """python bench.py plants: the reference's four benchmark plants
+    (ocp_generator.cc:73-363) through the full f32 product path
+    (equilibration + fused/subfused kernels + double-float refinement),
+    f64-host-verified against the 1e-6 accuracy contract
+    (fbstab_algorithm-impl.h:43-44). This is the hardware pin of the
+    contract: the CPU test suite asserts looser per-plant floors because
+    the XLA:CPU compilation of the refinement loop carries a noise floor
+    the TPU compilation does not."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models import ocp_fixtures
+    from fbstab_tpu.models.mpc_qp import mpc_dims, solve_mpc_qp_batch
+    from fbstab_tpu.options import Options
+    from fbstab_tpu.solver_out import ExitFlag
+
+    platform = jax.devices()[0].platform
+    if B is None:
+        B = 8 if platform == "cpu" else 128
+    dtype = jnp.float32
+    opts = Options.single_precision()
+    plants = [
+        (ocp_fixtures.double_integrator, 20, 0.05),
+        (ocp_fixtures.servo_motor, 25, 0.05),
+        (ocp_fixtures.spacecraft_relative_motion, 40, 0.001),
+        (ocp_fixtures.copolymerization_reactor, 80, 0.05),
+    ]
+    worst = 0.0
+    per_plant = {}
+    all_ok = True
+    for plant, N, pert in plants:
+        data, _ = plant(N, dtype=dtype)
+        _, nx, nu, nc = mpc_dims(data)
+        batch = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), data)
+        rng = np.random.default_rng(7)
+        scale = float(np.max(np.abs(np.asarray(data.x0)))) or 0.02
+        offs = pert * scale * np.abs(rng.standard_normal((B, nx)))
+        offs[0] = 0.0     # lane 0 = the reference's own test instance
+        batch = batch._replace(x0=jnp.asarray(
+            np.asarray(data.x0)[None] + offs, dtype))
+        nz = (N + 1) * (nx + nu)
+        z0 = jnp.zeros((B, nz), dtype)
+        l0 = jnp.zeros((B, (N + 1) * nx), dtype)
+        v0 = jnp.zeros((B, (N + 1) * nc), dtype)
+        fn = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+        x, core = fn(batch, z0, l0, v0)
+        np.asarray(core.residual)
+        ef = np.asarray(core.eflag)
+        good = ef == int(ExitFlag.SUCCESS)
+        sol = x.to_float64()
+        res64 = f64_pnr_np(batch, sol.z, sol.l, sol.v, opts.alpha)
+        # Contract applies to solved lanes; non-SUCCESS lanes are
+        # genuinely infeasible perturbations (verified in f64).
+        # The contract instance is the reference's own test problem
+        # (lane 0, nominal x0); the perturbed lanes stress-test around
+        # it and are reported transparently.
+        ok = bool(good[0]) and float(res64[0]) <= 1e-6
+        mx = float(res64[good].max()) if good.any() else float("nan")
+        worst = max(worst, float(res64[0]))
+        all_ok = all_ok and ok
+        per_plant[plant.__name__] = {
+            "nominal_res64": float(res64[0]),
+            "success_frac": round(float(good.mean()), 4),
+            "perturbed_res64_max": mx,
+            "perturbed_frac_le_1e6": round(
+                float(np.mean(res64[good] <= 1e-6)) if good.any() else 0.0,
+                4),
+            "raw_med": float(np.median(
+                np.asarray(core.raw_residual)[good])) if good.any()
+            else float("nan"),
+        }
+        print(f"bench[plants]: {plant.__name__} nominal res64="
+              f"{float(res64[0]):.2e} success={float(good.mean()):.3f} "
+              f"perturbed max={mx:.2e} "
+              f"raw med={per_plant[plant.__name__]['raw_med']:.2e}",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "plants_contract_res64_max",
+        "value": worst,
+        "unit": "f64-verified residual on the reference's own test "
+                "instances (target <= 1e-6)",
+        "vs_baseline": round(1e-6 / max(worst, 1e-300), 3),
+        "contract_met": all_ok,
+        "per_plant": per_plant,
+    }))
+
+
 def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
                    tile_b=128):
     """Auditable first-order performance model for the fused MPC solver
@@ -875,7 +964,7 @@ if __name__ == "__main__":
         "refine": run_refine, "adaptive": run_adaptive,
         "sharded": run_sharded, "copoly": run_copoly,
         "longhorizon": run_longhorizon, "million": run_million,
-        "sparse": run_sparse, "diff": run_diff,
+        "sparse": run_sparse, "diff": run_diff, "plants": run_plants,
     }
     if len(sys.argv) > 1:
         mode = _MODES.get(sys.argv[1])

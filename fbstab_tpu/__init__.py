@@ -51,10 +51,17 @@ from fbstab_tpu.models.mpc_qp import (
     solve_mpc_qp,
     solve_mpc_qp_batch,
 )
+from fbstab_tpu.models.batch_facade import FBstabDenseBatch, FBstabMpcBatch
 from fbstab_tpu.models.refine import (
     VariableDF,
     refine_dense_batch,
     refine_mpc_batch,
+)
+from fbstab_tpu.models.scaling import (
+    DenseScaling,
+    MpcScaling,
+    equilibrate_dense,
+    equilibrate_mpc,
 )
 from fbstab_tpu.models.sparse_qp import (
     FBstabSparse,
@@ -77,11 +84,15 @@ __all__ = [
     "DenseQPData",
     "Display",
     "ExitFlag",
+    "DenseScaling",
     "FBstabDense",
+    "FBstabDenseBatch",
     "FBstabMpc",
+    "FBstabMpcBatch",
     "FBstabSparse",
     "MPC_OPS",
     "MpcQPData",
+    "MpcScaling",
     "Options",
     "SolverOut",
     "SparsePattern",
@@ -89,6 +100,8 @@ __all__ = [
     "Variable",
     "VariableDF",
     "dense_qp_data",
+    "equilibrate_dense",
+    "equilibrate_mpc",
     "fbstab_solve",
     "make_differentiable_batch_solver",
     "make_differentiable_solver",

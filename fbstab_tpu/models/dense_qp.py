@@ -245,22 +245,35 @@ def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
     analog, SURVEY.md section 2). On TPU, f32 batches dispatch to the
     fully fused Pallas solver kernel (ops/dense_solve_pallas.py).
 
-    When `options.refine_steps > 0` on an f32 solve (the
-    `Options.single_precision()` default), converged instances are
-    polished by mixed-precision refinement and the returned solution is
-    a `VariableDF` double-float pair meeting the reference's 1e-6
-    accuracy contract (see solve_mpc_qp_batch)."""
-    if _fused_dense_eligible(data, z0.dtype):
-        from fbstab_tpu.ops.dense_solve_pallas import (
-            fbstab_dense_solve_fused)
-        x, core = fbstab_dense_solve_fused(
-            data, z0, l0, v0, options,
-            interpret=(PALLAS_MODE == "interpret"))
-    else:
-        x, core = jax.vmap(
-            lambda d, z, l, v: fbstab_solve(DENSE_OPS, d, z, l, v, options)
-        )(data, z0, l0, v0)
+    f32 product defaults: equilibration + mixed-precision refinement to
+    the 1e-6 contract, as in solve_mpc_qp_batch (the returned solution
+    is a VariableDF double-float pair when refinement engages)."""
     opts = options.validated()
+
+    def raw(d, z, l, v):
+        if _fused_dense_eligible(d, z.dtype):
+            from fbstab_tpu.ops.dense_solve_pallas import (
+                fbstab_dense_solve_fused)
+            return fbstab_dense_solve_fused(
+                d, z, l, v, opts,
+                interpret=(PALLAS_MODE == "interpret"))
+        return jax.vmap(
+            lambda d1, z1, l1, v1: fbstab_solve(DENSE_OPS, d1, z1, l1,
+                                                v1, opts)
+        )(d, z, l, v)
+
+    from fbstab_tpu.models.scaling import solve_scaled_dense
+    x, core = solve_scaled_dense(raw, data, z0, l0, v0, opts)
+    if opts.retry_failed and z0.dtype == jnp.float32:
+        from fbstab_tpu.models.scaling import (
+            merge_failed_retry, retry_options)
+        from fbstab_tpu.solver_out import ExitFlag
+        ropts = retry_options(opts)
+        m = (core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED))[:, None]
+        x2, core2 = solve_scaled_dense(
+            raw, data, jnp.where(m, z0, x.z), jnp.where(m, l0, x.l),
+            jnp.where(m, v0, x.v), ropts)
+        x, core = merge_failed_retry(x, core, x2, core2)
     from fbstab_tpu.models.refine import refine_engaged
     if refine_engaged(opts, z0.dtype):
         from fbstab_tpu.models.refine import refine_solution_dense
@@ -313,10 +326,24 @@ class FBstabDense:
             from fbstab_tpu.utils.compile import tpu_compiler_options
 
             def f(d, z, l, v):
-                x, core = fbstab_solve(DENSE_OPS, d, z, l, v, opts)
-                from fbstab_tpu.models.refine import maybe_refine_single
-                return maybe_refine_single(
-                    "dense", d, x, core, opts, z.dtype)
+                from fbstab_tpu.models.refine import (
+                    refine_engaged, refine_solution_dense)
+                from fbstab_tpu.models.scaling import (
+                    scaling_engaged, solve_scaled_dense)
+                if not (scaling_engaged(opts, z.dtype)
+                        or refine_engaged(opts, z.dtype)):
+                    return fbstab_solve(DENSE_OPS, d, z, l, v, opts)
+                bat = lambda t: jax.tree.map(lambda a: a[None], t)
+                unbat = lambda t: jax.tree.map(lambda a: a[0], t)
+                raw = lambda dd, zz, ll, vv: jax.vmap(
+                    lambda d1, z1, l1, v1: fbstab_solve(
+                        DENSE_OPS, d1, z1, l1, v1, opts))(dd, zz, ll, vv)
+                xb, coreb = solve_scaled_dense(
+                    raw, bat(d), z[None], l[None], v[None], opts)
+                if refine_engaged(opts, z.dtype):
+                    xb, coreb = refine_solution_dense(bat(d), xb, coreb,
+                                                      opts)
+                return unbat(xb), unbat(coreb)
 
             self._compiled = jax.jit(
                 f, compiler_options=tpu_compiler_options())

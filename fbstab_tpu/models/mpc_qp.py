@@ -961,16 +961,42 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
     kernels), or 'assoc' (force the parallel associative-scan Riccati
     Newton step, vmapped batch-last).
 
-    When `options.refine_steps > 0` on an f32 solve (the
-    `Options.single_precision()` default), converged instances are
-    polished by mixed-precision iterative refinement and the returned
-    solution is a `VariableDF` double-float pair meeting the reference's
-    1e-6 accuracy contract (`.hi()` gives the f32 Variable view);
-    `CoreOut.residual` is then the double-float-verified value and
-    `CoreOut.raw_residual` the solver's own f32 one. With refinement off
-    the solution is a plain f32/f64 `Variable`."""
-    x, core = _solve_mpc_qp_batch_raw(data, z0, l0, v0, options, riccati)
+    f32 product defaults (`Options.single_precision()`):
+     - `options.equilibrate` Ruiz-scales the problem before the solve
+       (models/scaling.py) — the solver runs in the equilibrated
+       geometry and the reported residuals are re-evaluated in ORIGINAL
+       units at the returned point;
+     - `options.refine_steps > 0` polishes converged instances with
+       mixed-precision iterative refinement (equilibration-
+       preconditioned corrections) until `options.refine_target`; the
+       returned solution is then a `VariableDF` double-float pair
+       meeting the reference's 1e-6 accuracy contract (`.hi()` gives
+       the f32 Variable view), `CoreOut.residual` the double-float-
+       verified value and `CoreOut.raw_residual` the pre-refinement
+       one. With refinement off the solution is a plain Variable."""
     opts = options.validated()
+    from fbstab_tpu.models.scaling import solve_scaled_mpc
+
+    def scaled_solve(o, d, z, l, v):
+        return solve_scaled_mpc(
+            lambda dd, zz, ll, vv: _solve_mpc_qp_batch_raw(
+                dd, zz, ll, vv, o, riccati), d, z, l, v, o)
+
+    x, core = scaled_solve(opts, data, z0, l0, v0)
+    if opts.retry_failed and z0.dtype == jnp.float32:
+        from fbstab_tpu.models.scaling import (
+            merge_failed_retry, retry_options)
+        from fbstab_tpu.solver_out import ExitFlag
+        # Failed lanes restart from the caller's guess (their last
+        # iterate is near the singular configuration that failed);
+        # everyone else re-enters AT their solution and exits
+        # immediately, keeping the lockstep pass cheap.
+        m = (core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED))[:, None]
+        x2, core2 = scaled_solve(
+            retry_options(opts), data,
+            jnp.where(m, z0, x.z), jnp.where(m, l0, x.l),
+            jnp.where(m, v0, x.v))
+        x, core = merge_failed_retry(x, core, x2, core2)
     from fbstab_tpu.models.refine import refine_engaged
     if refine_engaged(opts, z0.dtype):
         from fbstab_tpu.models.refine import refine_solution_mpc
@@ -1026,10 +1052,26 @@ class FBstabMpc:
             from fbstab_tpu.utils.compile import tpu_compiler_options
 
             def f(d, z, l, v):
-                x, core = fbstab_solve(MPC_OPS, d, z, l, v, opts)
-                from fbstab_tpu.models.refine import maybe_refine_single
-                return maybe_refine_single(
-                    "mpc", d, x, core, opts, z.dtype)
+                from fbstab_tpu.models.refine import (
+                    refine_engaged, refine_solution_mpc)
+                from fbstab_tpu.models.scaling import (
+                    scaling_engaged, solve_scaled_mpc)
+                if not (scaling_engaged(opts, z.dtype)
+                        or refine_engaged(opts, z.dtype)):
+                    return fbstab_solve(MPC_OPS, d, z, l, v, opts)
+                # f32 product path: batch the instance and reuse the
+                # equilibrated + refined batch machinery.
+                bat = lambda t: jax.tree.map(lambda a: a[None], t)
+                unbat = lambda t: jax.tree.map(lambda a: a[0], t)
+                raw = lambda dd, zz, ll, vv: jax.vmap(
+                    lambda d1, z1, l1, v1: fbstab_solve(
+                        MPC_OPS, d1, z1, l1, v1, opts))(dd, zz, ll, vv)
+                xb, coreb = solve_scaled_mpc(
+                    raw, bat(d), z[None], l[None], v[None], opts)
+                if refine_engaged(opts, z.dtype):
+                    xb, coreb = refine_solution_mpc(bat(d), xb, coreb,
+                                                    opts)
+                return unbat(xb), unbat(coreb)
 
             self._compiled = jax.jit(
                 f, compiler_options=tpu_compiler_options())

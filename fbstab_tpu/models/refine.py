@@ -302,18 +302,312 @@ def refine_dense_batch(data, x: Variable, options: Options = Options(),
     return VariableDF(z=z, l=l, v=v, y=y), jnp.stack(history)
 
 
+def _refine_dense_loop(data, x: Variable, options: Options, good,
+                       scal=None):
+    """Dense analog of _refine_mpc_loop: data and x in loop coordinates
+    (the Ruiz-scaled problem when `scal` is given — exact pow2), early-
+    exit while_loop on the ORIGINAL-units double-float residual.
+    Returns (VariableDF in loop coords, res0, res, steps)."""
+    from fbstab_tpu.models import dense_qp as _dense
+
+    opts = options.validated()
+    B = x.z.shape[0]
+    dtype = x.z.dtype
+    alpha = opts.alpha
+    sigma = jnp.asarray(opts.sigma0, dtype)
+    target = jnp.asarray(opts.refine_target, dtype)
+
+    z0, l0, v0 = df(x.z), df(x.l), df(x.v)
+
+    def margin(z_):
+        return df_sub(df(data.b), df_matvec(data.A, z_))
+
+    y0 = margin(z0)
+
+    if scal is not None:
+        kc2 = scal.kc[:, None]
+        fac_rz = 1.0 / (kc2 * scal.dz)
+        fac_rl = 1.0 / scal.dl
+        fac_y = 1.0 / scal.de
+        fac_v = scal.de / kc2
+
+    def _pnr(z, l, v, y, rz, rl):
+        a = jnp.asarray(alpha, dtype)
+        nr = df_min(y, v)
+        pen = df_mul(df_max0(y), df_max0(v))
+        rv = df_add(df_mul_f(nr, a), df_mul_f(pen, 1.0 - a))
+        sq = lambda p: jnp.sum(df_to(p) ** 2, axis=-1)
+        return jnp.sqrt(sq(rz) + sq(rl) + sq(rv))
+
+    def norms(z, l, v, y, rz, rl):
+        res_loop = _pnr(z, l, v, y, rz, rl)
+        if scal is None:
+            return res_loop, res_loop
+        from fbstab_tpu.models.scaling import _df_scale
+        res_orig = _pnr(z, l, _df_scale(v, fac_v), _df_scale(y, fac_y),
+                        _df_scale(rz, fac_rz), _df_scale(rl, fac_rl))
+        return res_orig, res_loop
+
+    blocks0 = _dense_kkt_residual_df(data, z0, l0, v0, y0, alpha)
+    res0, _ = norms(z0, l0, v0, y0, *blocks0[:2])
+
+    def newton(zh, lh, vh, yh, rz, rl, rv, sig):
+        def one(d, zz, ll, vv, yy, rz_, rl_, rv_, sg):
+            xx = Variable(z=zz, l=ll, v=vv, y=yy)
+            fact = _dense._factor(d, xx, xx, sg, alpha)
+            ok = _dense._factor_ok(fact)
+            dx = _dense._newton_solve(d, fact, -rz_, -rl_, -rv_)
+            return dx.z, dx.l, dx.v, ok
+
+        return jax.vmap(one)(data, zh, lh, vh, yh, rz, rl, rv, sig)
+
+    def body(carry):
+        best, blocks, res_best, live, t, sig, i = carry
+        z, l, v, y = best
+        rz, rl, rv = blocks
+        dz, dl, dv, ok = newton(df_to(z), df_to(l), df_to(v), df_to(y),
+                                df_to(rz), df_to(rl), df_to(rv), sig)
+        # Damped monotone step from best (see _refine_mpc_loop).
+        tm = (t * (live & ok).astype(dtype))[:, None]
+        z_p = df_add(z, df(tm * dz))
+        l_p = df_add(l, df(tm * dl))
+        v_p = df_max0(df_add(v, df(tm * dv)))
+        y_p = margin(z_p)
+        blocks_p = _dense_kkt_residual_df(data, z_p, l_p, v_p, y_p, alpha)
+        res_p, _ = norms(z_p, l_p, v_p, y_p, *blocks_p[:2])
+        better = live & ok & jnp.isfinite(res_p) & (res_p < res_best)
+        pick = lambda pn, po: jax.tree.map(
+            lambda a, b: jnp.where(
+                better.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
+        best = pick((z_p, l_p, v_p, y_p), best)
+        blocks = pick(blocks_p, blocks)
+        res_best = jnp.where(better, res_p, res_best)
+        t = jnp.where(better, 1.0, t * 0.5)
+        sig = jnp.where(ok, sigma, jnp.minimum(sig * 8.0, 8e-2))
+        live = live & (t >= 1.0 / 64.0)
+        return (best, blocks, res_best, live, t, sig, i + 1)
+
+    def cond(carry):
+        best, blocks, res_best, live, t, sig, i = carry
+        pending = jnp.max(jnp.where(live, res_best, 0.0))
+        return (i < opts.refine_steps) & (pending > target)
+
+    state0 = (z0, l0, v0, y0)
+    sig0 = jnp.full((B,), sigma, dtype)
+    ones = jnp.ones((B,), dtype)
+    (z, l, v, y), _, res, _, _, _, steps = jax.lax.while_loop(
+        cond, body, (state0, blocks0, res0, good, ones, sig0,
+                     jnp.int32(0)))
+    return VariableDF(z=z, l=l, v=v, y=y), res0, res, steps
+
+
 # ------------------------------------------------------------------
 # Product-path integration: the batch dispatchers call these when
 # Options.refine_steps > 0 on an f32 solve (the single_precision default),
 # making the reference's 1e-6 accuracy contract the default TPU behavior
 # rather than an opt-in (round-3 item; fbstab_algorithm-impl.h:43-44).
+#
+# The product loop differs from refine_mpc_batch above in three ways:
+#  * it runs as a lax.while_loop with early exit once every converged
+#    lane's ORIGINAL-UNITS double-float residual is under
+#    Options.refine_target (well-scaled batches stop after ~3 steps;
+#    badly-scaled ones get the full budget);
+#  * with Options.equilibrate, the ENTIRE loop (double-float residuals
+#    + f32 correction solves) runs on the Ruiz-equilibrated problem
+#    (models/scaling.py). Because the scaling diagonals are rounded to
+#    powers of two, the scaled problem is an EXACT floating-point
+#    transform of the original — the loop's fixed point is exactly the
+#    original solution, and the final unscale is an exponent shift on
+#    both double-float limbs. Without equilibration the correction
+#    solve's cond(K)*eps_f32 floor dominates on plants like the
+#    ServoMotor (measured: refinement stalls at 3e-2 unscaled). The
+#    early-exit norm is still evaluated in ORIGINAL units (exact
+#    diagonal row unscaling for rz/rl; the nonlinear pfb row
+#    re-evaluated at the exactly-unscaled (y, v)).
 # ------------------------------------------------------------------
+
+
+def _pnr_df_at_mpc(data: MpcQPData, sol, alpha):
+    """Double-float penalized natural residual at a point in ORIGINAL
+    coordinates (VariableDF pairs or a plain Variable), with the margin
+    rebuilt as y = b - Az from the original data. Computed OUTSIDE the
+    refinement while_loop: the loop-internal norm was measured to drift
+    from the f64 truth at small residuals under some XLA compilations,
+    so the REPORTED value is always this fresh evaluation."""
+    N, nx, nu, nc = mpc_dims(data)
+    N1 = N + 1
+    as_pair = lambda a: a if isinstance(a, tuple) else df(a)
+    z = as_pair(sol.z)
+    B = z[0].shape[0]
+    zs = lambda p: (p[0].reshape(B, N1, nx + nu),
+                    p[1].reshape(B, N1, nx + nu))
+    zst = zs(z)
+    zx = (zst[0][:, :, :nx], zst[1][:, :, :nx])
+    zu = (zst[0][:, :, nx:], zst[1][:, :, nx:])
+    sh = lambda p, n: (p[0].reshape(B, N1, n), p[1].reshape(B, N1, n))
+    l = sh(as_pair(sol.l), nx)
+    v = sh(as_pair(sol.v), nc)
+    bvec = df(-data.d)
+    y = df_sub(bvec, df_add(df_matvec(data.E, zx), df_matvec(data.L, zu)))
+    return _mpc_pnr_norm_df(data, zx, zu, l, v, y, alpha)
+
+
+def _pnr_df_at_dense(data, sol, alpha):
+    """Dense analog of _pnr_df_at_mpc."""
+    as_pair = lambda a: a if isinstance(a, tuple) else df(a)
+    z = as_pair(sol.z)
+    l = as_pair(sol.l)
+    v = as_pair(sol.v)
+    y = df_sub(df(data.b), df_matvec(data.A, z))
+    return _dense_pnr_norm_df(data, z, l, v, y, alpha)
+
 
 def refine_engaged(options: Options, dtype) -> bool:
     """Whether the dispatchers should polish this solve. f32 only: the f64
     path meets the contract natively, and the double-float carry assumes
     two-f32 arithmetic."""
     return options.refine_steps > 0 and dtype == jnp.float32
+
+
+def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
+                     good, scal=None):
+    """Early-exit refinement loop (see block comment above).
+
+    data and x are in the LOOP's own coordinates: the Ruiz-scaled
+    problem when `scal` (a batched MpcScaling) is given — an EXACT
+    power-of-two transform, so the fixed point is the original problem's
+    solution. The early-exit norm is evaluated in ORIGINAL units via the
+    exact row unscalings. good: (B,) lanes to drive to target.
+    Returns (VariableDF in loop coords, res0, res, steps), residuals in
+    original units."""
+    opts = options.validated()
+    N, nx, nu, nc = mpc_dims(data)
+    N1 = N + 1
+    B = x.z.shape[0]
+    dtype = x.z.dtype
+    alpha = opts.alpha
+    sigma = jnp.asarray(opts.sigma0, dtype)
+    target = jnp.asarray(opts.refine_target, dtype)
+
+    zs = x.z.reshape(B, N1, nx + nu)
+    zx0 = df(zs[:, :, :nx])
+    zu0 = df(zs[:, :, nx:])
+    l0 = df(_stages(x.l, N1, nx))
+    v0 = df(_stages(x.v, N1, nc))
+
+    bvec = df(-data.d)
+
+    def margin(zx_, zu_):
+        az = df_add(df_matvec(data.E, zx_), df_matvec(data.L, zu_))
+        return df_sub(bvec, az)
+
+    y0 = margin(zx0, zu0)
+
+    if scal is not None:
+        kc3 = scal.kc[:, None, None]
+        fac_rzx = 1.0 / (kc3 * scal.dx)       # rz rows scale by kc*Dz
+        fac_rzu = 1.0 / (kc3 * scal.du)
+        fac_rl = scal.dx                      # rl rows scale by Dx^{-1}
+        fac_y = 1.0 / scal.de                 # y = y'/de
+        fac_v = scal.de / kc3                 # v = de*v'/kc
+
+    def _pnr(zx, zu, l, v, y, rzx, rzu, rl):
+        a = jnp.asarray(alpha, dtype)
+        nr = df_min(y, v)
+        pen = df_mul(df_max0(y), df_max0(v))
+        rv = df_add(df_mul_f(nr, a), df_mul_f(pen, 1.0 - a))
+        sq = lambda p: jnp.sum(df_to(p) ** 2, axis=(1, 2))
+        return jnp.sqrt(sq(rzx) + sq(rzu) + sq(rl) + sq(rv))
+
+    def norms(zx, zu, l, v, y, rzx, rzu, rl):
+        """(original-units, loop-units) penalized natural residual norms
+        from the loop-coordinate df blocks (full_residual.cc:99-109).
+        The rz/rl rows unscale diagonally (exact pow2); the nonlinear rv
+        row is re-evaluated at the exactly-unscaled (y, v). The loop-
+        units norm drives the sigma adaptation."""
+        res_loop = _pnr(zx, zu, l, v, y, rzx, rzu, rl)
+        if scal is None:
+            return res_loop, res_loop
+        from fbstab_tpu.models.scaling import _df_scale
+        res_orig = _pnr(
+            zx, zu, l, _df_scale(v, fac_v), _df_scale(y, fac_y),
+            _df_scale(rzx, fac_rzx), _df_scale(rzu, fac_rzu),
+            _df_scale(rl, fac_rl))
+        return res_orig, res_loop
+
+    blocks0 = _mpc_kkt_residual_df(data, zx0, zu0, l0, v0, y0, alpha)
+    res0, res_loop0 = norms(zx0, zu0, l0, v0, y0, *blocks0[:3])
+
+    data_t = (_mpc.with_transposed(data)
+              if not isinstance(data, _mpc.MpcQPDataT) else data)
+    step_fn = _mpc._make_fused_step(float(alpha))
+
+    def body(carry):
+        best, blocks, res_best, live, t, sig, i = carry
+        zx, zu, l, v, y = best
+        rzx, rzu, rl, rv = blocks
+        rz_flat = jnp.concatenate(
+            [df_to(rzx), df_to(rzu)], axis=2).reshape(B, -1)
+        rl_flat = df_to(rl).reshape(B, -1)
+        rv_flat = df_to(rv).reshape(B, -1)
+        vh = df_to(v).reshape(B, -1)
+        yh = df_to(y).reshape(B, -1)
+        dz, dl, dv, _, ok = jax.vmap(
+            lambda dd, vv, yy, vb, rz_, rl_, rv_, sg: step_fn(
+                dd, vv, yy, vb, rz_, rl_, rv_, sg),
+            in_axes=(_mpc._DATA_T_AXES, 0, 0, 0, 0, 0, 0, 0),
+        )(data_t, vh, yh, vh, -rz_flat, -rl_flat, -rv_flat, sig)
+        # Damped step from the best-so-far state: undamped semismooth
+        # corrections can limit-cycle across active-set kinks (observed:
+        # last-bit rounding decides between convergence and a 3e-5
+        # orbit on the ServoMotor), so a step that does not improve the
+        # residual is retried from `best` at half the step length; an
+        # improvement resets t to 1. Monotone by construction — cannot
+        # cycle.
+        tm = (t * (live & ok).astype(dtype))[:, None, None]
+        dzs = dz.reshape(B, N1, nx + nu)
+        addf = lambda p, c: df_add(p, df(tm * c))
+        zx_p = addf(zx, dzs[:, :, :nx])
+        zu_p = addf(zu, dzs[:, :, nx:])
+        l_p = addf(l, _stages(dl, N1, nx))
+        v_p = df_max0(addf(v, _stages(dv, N1, nc)))
+        y_p = margin(zx_p, zu_p)
+        blocks_p = _mpc_kkt_residual_df(data, zx_p, zu_p, l_p, v_p, y_p,
+                                        alpha)
+        res_p, _ = norms(zx_p, zu_p, l_p, v_p, y_p, *blocks_p[:3])
+        better = live & ok & jnp.isfinite(res_p) & (res_p < res_best)
+        pick = lambda pn, po: jax.tree.map(
+            lambda a, b: jnp.where(
+                better.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
+        best = pick((zx_p, zu_p, l_p, v_p, y_p), best)
+        blocks = pick(blocks_p, blocks)
+        res_best = jnp.where(better, res_p, res_best)
+        t = jnp.where(better, 1.0, t * 0.5)
+        # A failed factorization retries with an 8x larger proximal
+        # sigma (the regularize-and-retry the reference leaves as a
+        # TODO, riccati_linear_solver.cc:129-130); success resets it.
+        sig = jnp.where(ok, sigma, jnp.minimum(sig * 8.0, 8e-2))
+        # A lane whose damping is exhausted has genuinely stalled.
+        live = live & (t >= 1.0 / 64.0)
+        return (best, blocks, res_best, live, t, sig, i + 1)
+
+    def cond(carry):
+        best, blocks, res_best, live, t, sig, i = carry
+        pending = jnp.max(jnp.where(live, res_best, 0.0))
+        return (i < opts.refine_steps) & (pending > target)
+
+    state0 = (zx0, zu0, l0, v0, y0)
+    sig0 = jnp.full((B,), sigma, dtype)
+    ones = jnp.ones((B,), dtype)
+    (zx, zu, l, v, y), _, res, _, _, _, steps = jax.lax.while_loop(
+        cond, body,
+        (state0, blocks0, res0, good, ones, sig0, jnp.int32(0)))
+
+    refined = VariableDF(
+        z=(jnp.concatenate([zx[0], zu[0]], axis=2).reshape(x.z.shape),
+           jnp.concatenate([zx[1], zu[1]], axis=2).reshape(x.z.shape)),
+        l=_flat(l, N1 * nx), v=_flat(v, N1 * nc), y=_flat(y, N1 * nc))
+    return refined, res0, res, steps
 
 
 def _splice_df(refined: VariableDF, x: Variable, good) -> VariableDF:
@@ -329,44 +623,67 @@ def _splice_df(refined: VariableDF, x: Variable, good) -> VariableDF:
                       v=pick(refined.v, x.v), y=pick(refined.y, x.y))
 
 
-def _refine_core(core, res_hist, good):
-    res = jnp.where(good, res_hist[-1].astype(core.residual.dtype),
-                    core.residual)
-    return core._replace(residual=res, raw_residual=core.residual)
+def _finish_refine(refined, x, core, good, res0, res):
+    """Splice + report: refined point on lanes that are good AND actually
+    improved; the raw point (lo = 0) elsewhere. `residual` becomes the
+    double-float-verified original-units value at the RETURNED point;
+    `raw_residual` keeps the pre-refinement (df-verified) value for good
+    lanes and the solver's own value otherwise."""
+    use = good & (res <= res0)
+    sol = _splice_df(refined, x, use)
+    rdt = core.residual.dtype
+    reported = jnp.where(use, res.astype(rdt),
+                         jnp.where(good, res0.astype(rdt), core.residual))
+    raw = jnp.where(good, res0.astype(rdt), core.residual)
+    return sol, core._replace(residual=reported, raw_residual=raw)
 
 
 def refine_solution_mpc(data, x: Variable, core, options: Options
                         ) -> tuple[VariableDF, object]:
     """Polishes SUCCESS lanes of a batched MPC solve and rewrites the
     CoreOut: `residual` becomes the double-float-verified penalized
-    natural residual at the refined point, `raw_residual` keeps the
-    solver's f32 value. Jittable; shard_map-safe (no collectives)."""
+    natural residual (ORIGINAL units, original data) at the refined
+    point, `raw_residual` the pre-refinement value. With
+    Options.equilibrate the corrections are preconditioned by the
+    Ruiz-equilibrated problem. Jittable; shard_map-safe."""
     opts = options.validated()
-    refined, hist = refine_mpc_batch(data, x, opts, steps=opts.refine_steps)
+    base = (MpcQPData(**{f: getattr(data, f) for f in MpcQPData._fields})
+            if isinstance(data, _mpc.MpcQPDataT) else data)
     good = core.eflag == int(ExitFlag.SUCCESS)
-    return _splice_df(refined, x, good), _refine_core(core, hist, good)
+    if opts.equilibrate:
+        from fbstab_tpu.models.scaling import (
+            equilibrate_mpc, scale_mpc_variable, unscale_mpc_variable_df)
+        sdata, scal = jax.vmap(equilibrate_mpc)(base)
+        xs = scale_mpc_variable(x, scal)        # exact (pow2 diagonals)
+        refined_s, _, _, _ = _refine_mpc_loop(sdata, xs, opts, good, scal)
+        refined = unscale_mpc_variable_df(refined_s, scal)
+    else:
+        refined, _, _, _ = _refine_mpc_loop(base, x, opts, good)
+    # Fresh, loop-independent evaluations of both points for the report
+    # and the better-than-raw decision (see _pnr_df_at_mpc).
+    res0 = _pnr_df_at_mpc(base, x, opts.alpha)
+    res = _pnr_df_at_mpc(base, refined, opts.alpha)
+    return _finish_refine(refined, x, core, good, res0, res)
 
 
 def refine_solution_dense(data, x: Variable, core, options: Options
                           ) -> tuple[VariableDF, object]:
     """Dense-QP analog of refine_solution_mpc."""
     opts = options.validated()
-    refined, hist = refine_dense_batch(data, x, opts,
-                                       steps=opts.refine_steps)
     good = core.eflag == int(ExitFlag.SUCCESS)
-    return _splice_df(refined, x, good), _refine_core(core, hist, good)
+    if opts.equilibrate:
+        from fbstab_tpu.models.scaling import (
+            equilibrate_dense, scale_dense_variable,
+            unscale_dense_variable_df)
+        sdata, scal = jax.vmap(equilibrate_dense)(data)
+        xs = scale_dense_variable(x, scal)
+        refined_s, _, _, _ = _refine_dense_loop(sdata, xs, opts, good,
+                                                scal)
+        refined = unscale_dense_variable_df(refined_s, scal)
+    else:
+        refined, _, _, _ = _refine_dense_loop(data, x, opts, good)
+    res0 = _pnr_df_at_dense(data, x, opts.alpha)
+    res = _pnr_df_at_dense(data, refined, opts.alpha)
+    return _finish_refine(refined, x, core, good, res0, res)
 
 
-def maybe_refine_single(kind: str, data, x: Variable, core,
-                        options: Options, dtype):
-    """Single-instance refinement hook for the FBstabDense / FBstabMpc
-    facades: batches the instance, reuses the batched refinement path,
-    and unbatches. A no-op (returns the inputs) unless refine_engaged."""
-    opts = options.validated()
-    if not refine_engaged(opts, dtype):
-        return x, core
-    bat = lambda t: jax.tree.map(lambda a: a[None], t)
-    unbat = lambda t: jax.tree.map(lambda a: a[0], t)
-    fn = refine_solution_mpc if kind == "mpc" else refine_solution_dense
-    xb, coreb = fn(bat(data), bat(x), bat(core), opts)
-    return unbat(xb), unbat(coreb)

@@ -101,20 +101,34 @@ def equilibrate_mpc(d: MpcQPData, iters: int = RUIZ_ITERS
         colB = amax(Bs, 1)                                 # (N, nu)
         colu = colu.at[:-1].max(colB)
 
-        # Inequality rows.
+        # Inequality rows — including the offset d: the pfb residual
+        # works on y = -(Ex + Lu + d), and f32 pfb-weight jitter scales
+        # with |y|, so rows with large offsets (ServoMotor's |u| <= 220)
+        # must be normalized too or refinement floors at |d|*eps_f32.
         rowe = jnp.maximum(amax(Es, 2), amax(Ls, 2))
+        rowe = jnp.maximum(rowe, jnp.abs(de * d.d))
 
         upd = lambda cur, nrm: cur * lax.rsqrt(_safe(nrm))
         return (upd(dx, colx), upd(du, colu), upd(de, rowe)), None
 
     (dx, du, de), _ = lax.scan(body, (dx0, du0, de0), None, length=iters)
 
+    # Round every diagonal to a power of two: the scaled data is then an
+    # EXACT floating-point transform of the original (pow2 products are
+    # exponent shifts), so solving/refining the scaled problem and
+    # unscaling loses nothing — essential for the double-float
+    # refinement path, whose fixed point must be the original problem's
+    # solution, not a 6e-8-perturbed cousin's. Costs at most sqrt(2) of
+    # equilibration quality.
+    pow2 = lambda a: jnp.exp2(jnp.round(jnp.log2(a)))
+    dx, du, de = pow2(dx), pow2(du), pow2(de)
+
     Qs, Ss, Rs, As, Bs, Es, Ls = scaled_blocks(dx, du, de)
     cost_mag = jnp.maximum(jnp.max(jnp.abs(Qs)), jnp.max(jnp.abs(Rs)))
     cost_mag = jnp.maximum(cost_mag, jnp.max(jnp.abs(Ss)))
     cost_mag = jnp.maximum(cost_mag, jnp.max(jnp.abs(dx * d.q)))
     cost_mag = jnp.maximum(cost_mag, jnp.max(jnp.abs(du * d.r)))
-    kc = 1.0 / jnp.clip(_safe(cost_mag), 1e-8, 1e8)
+    kc = pow2(1.0 / jnp.clip(_safe(cost_mag), 1e-8, 1e8))
 
     scaled = MpcQPData(
         Q=kc * Qs, R=kc * Rs, S=kc * Ss,
@@ -194,16 +208,21 @@ def equilibrate_dense(d, iters: int = RUIZ_ITERS):
         colz = jnp.maximum(colz, jnp.max(jnp.abs(As), axis=0))
         rowl = (jnp.max(jnp.abs(Gs), axis=1) if nl > 0
                 else jnp.zeros((0,), dtype))
-        rowe = jnp.max(jnp.abs(As), axis=1)
+        rowe = jnp.maximum(jnp.max(jnp.abs(As), axis=1),
+                           jnp.abs(de * d.b))
         upd = lambda cur, nrm: cur * lax.rsqrt(_safe(nrm))
         return (upd(dz, colz), upd(dl, rowl), upd(de, rowe)), None
 
     (dz, dl, de), _ = lax.scan(body, (dz0, dl0, de0), None, length=iters)
 
+    # Power-of-two rounding: exact transform (see equilibrate_mpc).
+    pow2 = lambda a: jnp.exp2(jnp.round(jnp.log2(a)))
+    dz, dl, de = pow2(dz), pow2(dl), pow2(de)
+
     Hs, Gs, As = scaled(dz, dl, de)
     cost_mag = jnp.maximum(jnp.max(jnp.abs(Hs)),
                            jnp.max(jnp.abs(dz * d.f)))
-    kc = 1.0 / jnp.clip(_safe(cost_mag), 1e-8, 1e8)
+    kc = pow2(1.0 / jnp.clip(_safe(cost_mag), 1e-8, 1e8))
 
     scaled_data = type(d)(
         H=kc * Hs, f=kc * dz * d.f,
@@ -224,3 +243,128 @@ def scale_dense_variable(x: Variable, s: DenseScaling) -> Variable:
 def unscale_dense_variable(x: Variable, s: DenseScaling) -> Variable:
     dzf, lf, vf, def_ = dense_scale_factors(s)
     return Variable(z=x.z * dzf, l=x.l * lf, v=x.v * vf, y=x.y / def_)
+
+
+def _df_scale(p, f):
+    """Componentwise scaling of a double-float pair by a power-of-two
+    factor array — exact (exponent shift on both limbs)."""
+    return (p[0] * f, p[1] * f)
+
+
+def unscale_mpc_variable_df(xdf, s: MpcScaling):
+    """Exact unscaling of a refined VariableDF (pow2 diagonals)."""
+    dzf, lf, vf, def_ = mpc_scale_factors(s)
+    return type(xdf)(z=_df_scale(xdf.z, dzf), l=_df_scale(xdf.l, lf),
+                     v=_df_scale(xdf.v, vf),
+                     y=_df_scale(xdf.y, 1.0 / def_))
+
+
+def unscale_dense_variable_df(xdf, s: DenseScaling):
+    dzf, lf, vf, def_ = dense_scale_factors(s)
+    return type(xdf)(z=_df_scale(xdf.z, dzf), l=_df_scale(xdf.l, lf),
+                     v=_df_scale(xdf.v, vf),
+                     y=_df_scale(xdf.y, 1.0 / def_))
+
+
+# ------------------------------------------------------------------
+# Solve wrappers: scale -> solve -> unscale -> re-report residuals in
+# ORIGINAL units. Used by the batch dispatchers, the sharded solvers and
+# the facades; refinement (which re-derives the scaling itself) is
+# applied by the caller afterwards.
+# ------------------------------------------------------------------
+
+def _pnr_batch(ops, data, x: Variable, alpha):
+    from fbstab_tpu.core.residuals import (
+        penalized_natural_residual, residual_norm)
+
+    return jax.vmap(lambda d, xx: residual_norm(
+        penalized_natural_residual(ops, d, xx, alpha)))(data, x)
+
+
+def scaling_engaged(options, dtype) -> bool:
+    return bool(options.equilibrate) and dtype == jnp.float32
+
+
+def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options):
+    """Batched MPC solve through the equilibrated problem.
+
+    raw_solve(data, z0, l0, v0) -> (Variable, CoreOut) on whatever data
+    it is given. When scaling is engaged (options.equilibrate + f32):
+    equilibrates per instance, scales the warmstart, solves, unscales the
+    solution, and rewrites CoreOut.residual/raw_residual with the
+    original-units f32 penalized natural residual at the returned point
+    (the solver's internal value is in scaled units and would mislead).
+    Exit flags and iteration counts are the scaled solve's — convergence
+    is judged in the equilibrated geometry, which is the point.
+    """
+    from fbstab_tpu.models.mpc_qp import MPC_OPS, MpcQPData, MpcQPDataT
+
+    opts = options.validated()
+    if not scaling_engaged(opts, z0.dtype):
+        return raw_solve(data, z0, l0, v0)
+    base = (MpcQPData(**{f: getattr(data, f) for f in MpcQPData._fields})
+            if isinstance(data, MpcQPDataT) else data)
+    sdata, scal = jax.vmap(equilibrate_mpc)(base)
+    g = scale_mpc_variable(
+        Variable(z=z0, l=l0, v=v0, y=jnp.zeros_like(v0)), scal)
+    x, core = raw_solve(sdata, g.z, g.l, g.v)
+    x = unscale_mpc_variable(x, scal)
+    res = _pnr_batch(MPC_OPS, base, x, opts.alpha)
+    return x, core._replace(residual=res, raw_residual=res)
+
+
+def solve_scaled_dense(raw_solve, data, z0, l0, v0, options):
+    """Dense analog of solve_scaled_mpc."""
+    from fbstab_tpu.models.dense_qp import DENSE_OPS
+
+    opts = options.validated()
+    if not scaling_engaged(opts, z0.dtype):
+        return raw_solve(data, z0, l0, v0)
+    sdata, scal = jax.vmap(equilibrate_dense)(data)
+    g = scale_dense_variable(
+        Variable(z=z0, l=l0, v=v0, y=jnp.zeros_like(v0)), scal)
+    x, core = raw_solve(sdata, g.z, g.l, g.v)
+    x = unscale_dense_variable(x, scal)
+    res = _pnr_batch(DENSE_OPS, data, x, opts.alpha)
+    return x, core._replace(residual=res, raw_residual=res)
+
+
+# ------------------------------------------------------------------
+# Failure retry: the regularize-and-retry pass the reference leaves as a
+# TODO (riccati_linear_solver.cc:129-130), batch-masked.
+# ------------------------------------------------------------------
+
+def retry_options(opts):
+    """4x larger proximal sigma + a bigger outer budget for the retry
+    pass (measured: the SpacecraftRelativeMotion plant's f32 stage
+    Cholesky fails on ~40% of instances at sigma0 = 3e-4 and succeeds
+    at ~1e-3)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        opts, sigma0=min(opts.sigma0 * 4.0, 1e-2),
+        max_prox_iters=max(opts.max_prox_iters, 60),
+        max_newton_iters=max(opts.max_newton_iters, 400)).validated()
+
+
+def merge_failed_retry(x1, core1, x2, core2):
+    """Takes the retry pass's results on lanes that exited
+    LINEAR_SOLVER_FAILED in pass 1; everything else keeps pass 1.
+    Iteration counters accumulate for retried lanes."""
+    from fbstab_tpu.solver_out import ExitFlag
+
+    m = core1.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)
+
+    def pick(a2, a1):
+        mm = m.reshape((m.shape[0],) + (1,) * (a1.ndim - 1))
+        return jnp.where(mm, a2, a1)
+
+    x = jax.tree.map(pick, x2, x1)
+    core = core1._replace(
+        eflag=jnp.where(m, core2.eflag, core1.eflag),
+        residual=jnp.where(m, core2.residual, core1.residual),
+        raw_residual=jnp.where(m, core2.raw_residual, core1.raw_residual),
+        newton_iters=core1.newton_iters
+        + jnp.where(m, core2.newton_iters, 0),
+        prox_iters=core1.prox_iters + jnp.where(m, core2.prox_iters, 0))
+    return x, core

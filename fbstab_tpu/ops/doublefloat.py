@@ -24,6 +24,19 @@ tests/test_doublefloat.py.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
+
+
+def _opaque(x):
+    """Hides a value's defining expression from XLA's algebraic
+    simplifier. The error-free transforms below are only exact if the
+    compiler does NOT apply value-changing rewrites like
+    (a + b) - a -> b; under jit, fused loop bodies were measured to lose
+    the compensation terms exactly that way (the refinement loop's df
+    residual degraded to plain-f32 accuracy inside lax.while_loop while
+    the identical eager computation stayed exact). optimization_barrier
+    is free at runtime — it only pins the dataflow."""
+    return lax.optimization_barrier(x)
 
 # Dekker split constant for f32 (2^12 + 1). For f64 inputs (CPU testing)
 # the same algorithms work with the f64 constant; the split picks the
@@ -38,7 +51,7 @@ def _split_const(dtype):
 
 def two_sum(a, b):
     """Exact addition: s + e == a + b with s = fl(a + b)."""
-    s = a + b
+    s = _opaque(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
@@ -46,19 +59,19 @@ def two_sum(a, b):
 
 def fast_two_sum(a, b):
     """Exact addition assuming |a| >= |b| (3 flops)."""
-    s = a + b
+    s = _opaque(a + b)
     e = b - (s - a)
     return s, e
 
 
 def two_prod(a, b):
     """Exact product: p + e == a * b with p = fl(a * b) (Dekker)."""
-    p = a * b
+    p = _opaque(a * b)
     c = jnp.asarray(_split_const(a.dtype), a.dtype)
-    a_big = c * a
+    a_big = _opaque(c * a)
     a_hi = a_big - (a_big - a)
     a_lo = a - a_hi
-    b_big = c * b
+    b_big = _opaque(c * b)
     b_hi = b_big - (b_big - b)
     b_lo = b - b_hi
     e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo

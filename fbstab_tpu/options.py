@@ -86,9 +86,31 @@ class Options:
     # path floors at ~1e-5 (evaluation roundoff) and even the f32-ROUNDED
     # refined point floors at ~5e-6 (representation error, measured on
     # v5e) — the returned double-float pair reaches <= 4.5e-7 at 3 steps
-    # on the bench workload, f64-host-verified. 0 disables refinement;
-    # the single_precision profile defaults to 3.
+    # on the bench workload, f64-host-verified. 0 disables refinement.
+    # This is the MAXIMUM step count: the product loop exits early once
+    # every converged lane's double-float residual is under
+    # refine_target (well-scaled batches stop after ~3 steps); the
+    # single_precision profile defaults to 24.
     refine_steps: int = 0
+
+    # Early-exit target for the refinement loop: the reference's default
+    # accuracy contract (abs_tol 1e-6, fbstab_algorithm-impl.h:43-44).
+    refine_target: float = 1e-6
+
+    # Re-solve lanes that exit LINEAR_SOLVER_FAILED with a 4x larger
+    # proximal sigma (warmstarted from their last iterate) — the
+    # regularize-and-retry pass the reference leaves as a TODO
+    # (riccati_linear_solver.cc:129-130), done batch-masked: non-failed
+    # lanes re-enter AT their solutions and exit immediately, so the
+    # pass costs a few percent. f32 batch dispatchers only.
+    retry_failed: bool = False
+
+    # Ruiz equilibration of the problem data before f32 solves
+    # (models/scaling.py): fixes the cond(K)*eps_f32 accuracy floor on
+    # badly scaled problems (e.g. the reference's ServoMotor plant,
+    # cost spread 1e7). Changes iterate paths, so the f64 default is
+    # off for reference parity; single_precision turns it on.
+    equilibrate: bool = False
 
     def validated(self) -> "Options":
         """Returns a copy with every field saturated into its documented safe
@@ -119,7 +141,8 @@ class Options:
             max_inner_iters=max(self.max_inner_iters, 1),
             max_linesearch_iters=max(self.max_linesearch_iters, 1),
             inner_stall_tol=_saturate(self.inner_stall_tol, 0.0, 0.5),
-            refine_steps=int(_saturate(self.refine_steps, 0, 12)),
+            refine_steps=int(_saturate(self.refine_steps, 0, 48)),
+            refine_target=max(self.refine_target, 1e-14),
         )
 
     @staticmethod
@@ -144,12 +167,19 @@ class Options:
         burning the Newton budget (stall exits are SUCCESS in the
         reference too, fbstab_algorithm-impl.h:162-169).
 
-        refine_steps = 3: the batch dispatchers polish converged f32
-        solutions with mixed-precision iterative refinement so the
-        returned (double-float) solution meets the reference's default
-        1e-6 accuracy contract — the product default on TPU, not an
-        opt-in (measured <= 4.5e-7 max over the 8192-QP bench batch,
-        f64-host-verified).
+        refine_steps = 12 with refine_target 1e-6: the batch dispatchers
+        polish converged f32 solutions with mixed-precision iterative
+        refinement (early exit at the target — well-scaled batches stop
+        after ~3 steps) so the returned double-float solution meets the
+        reference's default 1e-6 accuracy contract — the product default
+        on TPU, not an opt-in (measured <= 4.5e-7 max over the 8192-QP
+        bench batch, f64-host-verified).
+
+        equilibrate = True: Ruiz-scale the problem before the f32 solve
+        and precondition the refinement corrections with it — required
+        for badly scaled problems (the reference's ServoMotor /
+        SpacecraftRelativeMotion plants) where cond(K)*eps_f32 otherwise
+        floors the achievable accuracy orders above the contract.
         """
         return dataclasses.replace(
             Options(),
@@ -162,7 +192,9 @@ class Options:
             infeas_tol=1e-6,
             inner_tol_min=1e-7,
             inner_stall_tol=1e-3,
-            refine_steps=3,
+            refine_steps=24,
+            equilibrate=True,
+            retry_failed=True,
         )
 
     @staticmethod

@@ -95,22 +95,30 @@ def _make_sharded_solver(ops, mesh: Mesh, options: Options,
     is_mpc = ops is MPC_OPS
 
     def solve(data, z0, l0, v0):
-        if is_mpc:
-            # One-time batch-last stage-matrix copies, exactly like
-            # solve_mpc_qp_batch: the Newton-step kernel wants the batch
-            # in lanes, and transposing inside the Newton loop costs a
-            # strided HBM pass per iteration (mpc_qp.py, measured ~10x).
-            from fbstab_tpu.models.mpc_qp import (
-                _DATA_T_AXES, MpcQPDataT, with_transposed)
-            if not isinstance(data, MpcQPDataT):
-                data = with_transposed(data)
-            in_axes = (_DATA_T_AXES, 0, 0, 0)
-        else:
-            in_axes = (0, 0, 0, 0)
-        x, core = jax.vmap(
-            lambda d, z, l, v: fbstab_solve(ops, d, z, l, v, options),
-            in_axes=in_axes,
-        )(data, z0, l0, v0)
+        def raw(d, z, l, v):
+            if is_mpc:
+                # One-time batch-last stage-matrix copies, exactly like
+                # solve_mpc_qp_batch: the Newton-step kernel wants the
+                # batch in lanes, and transposing inside the Newton loop
+                # costs a strided HBM pass per iteration (mpc_qp.py,
+                # measured ~10x).
+                from fbstab_tpu.models.mpc_qp import (
+                    _DATA_T_AXES, MpcQPDataT, with_transposed)
+                if not isinstance(d, MpcQPDataT):
+                    d = with_transposed(d)
+                axes = (_DATA_T_AXES, 0, 0, 0)
+            else:
+                axes = (0, 0, 0, 0)
+            return jax.vmap(
+                lambda d1, z1, l1, v1: fbstab_solve(ops, d1, z1, l1, v1,
+                                                    options),
+                in_axes=axes,
+            )(d, z, l, v)
+
+        from fbstab_tpu.models.scaling import (
+            solve_scaled_dense, solve_scaled_mpc)
+        scaled = solve_scaled_mpc if is_mpc else solve_scaled_dense
+        x, core = scaled(raw, data, z0, l0, v0, options)
         from fbstab_tpu.models.refine import refine_engaged
         if refine_engaged(options.validated(), z0.dtype):
             from fbstab_tpu.models.refine import (
