@@ -49,6 +49,22 @@ from fbstab_tpu.solver_out import ExitFlag
 NONMONOTONE_DEPTH = 5
 
 
+def _dbg_print(stream, fmt, **kw):
+    """Traced iteration printing, redirectable: with stream=None this is
+    jax.debug.print (stdout); with a caller-supplied OutputStream the
+    values route through an ordered jax.debug.callback into
+    stream.print — the jit analog of the reference's CRTP OutputStream
+    injection (tools/output_stream.h:15-38, fbstab_dense.h:136-149)."""
+    if stream is None:
+        jax.debug.print(fmt, **kw)
+        return
+
+    def _cb(**vals):
+        stream.print(fmt.format(**vals) + "\n")
+
+    jax.debug.callback(_cb, ordered=True, **kw)
+
+
 class CoreOut(NamedTuple):
     """Traced portion of SolverOut (solve_time is added by the facades).
 
@@ -86,7 +102,7 @@ class _InnerState(NamedTuple):
 
 def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
                                xbar: Variable, tol, sigma, Eouter,
-                               newton_iters, opts: Options):
+                               newton_iters, opts: Options, stream=None):
     """Semismooth Newton on the proximal subproblem x = P(xbar, sigma).
 
     Reference: FBstabAlgorithm::SolveProximalSubproblem (impl.h:229-304).
@@ -109,7 +125,8 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
         # blockwise norms of ri). Static gate: zero cost unless enabled.
         if opts.display_level == Display.ITER_DETAILED:
             bz, bl, bv = residual_block_norms(ri)
-            jax.debug.print(
+            _dbg_print(
+                stream,
                 "{i:>10}  {t:>10.6e}  {bz:>10.6e}  {bl:>10.6e}  "
                 "{bv:>10.6e}", i=s.i, t=s.t, bz=bz, bl=bl, bv=bv)
 
@@ -180,7 +197,8 @@ def _solve_proximal_subproblem(ops: ProblemOps, data, b_vec, x0: Variable,
         if opts.display_level == Display.ITER_DETAILED:
             # Footer on exit (reference: PrintDetailedFooter, impl.h:476-489).
             def _footer(e, tl):
-                jax.debug.print(
+                _dbg_print(
+                    stream,
                     "Exiting inner loop. Inner residual: {e:6.4e}, "
                     "Inner tolerance: {t:6.4e}", e=e, t=tl)
                 return ()
@@ -228,13 +246,19 @@ class _OuterState(NamedTuple):
 
 
 def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
-                 options: Options) -> tuple[Variable, CoreOut]:
+                 options: Options, stream=None
+                 ) -> tuple[Variable, CoreOut]:
     """Solves one QP instance from the warmstart (z0, l0, v0).
 
     The guess semantics match FBstabAlgorithm::Solve (impl.h:113-224): the
     margin y is always recomputed as b - A z0 (CopyIntoVariable,
     impl.h:336-347), the returned Variable is the solution, the best iterate,
     or an infeasibility certificate depending on eflag.
+
+    stream: optional OutputStream (utils/printing.py) that receives the
+    ITER / ITER_DETAILED tables via an ordered debug callback, the jit
+    analog of the reference's Solve(qp, &x, os) stream injection
+    (fbstab_dense.h:136-149). None prints to stdout.
 
     vmap over (data, z0, l0, v0) gives the batched solver; the while loops
     batch into masked lockstep automatically.
@@ -272,7 +296,8 @@ def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
         # exit and when continuing, impl.h:165,172).
         if opts.display_level == Display.ITER:
             bz, bl, bv = residual_block_norms(rk)
-            jax.debug.print(
+            _dbg_print(
+                stream,
                 "{k:>12}  {n:>12}  {bz:>12.4e}  {bl:>12.4e}  {bv:>12.4e}  "
                 "{ri:>12.4e}  {t:>12.4e}",
                 k=s.prox_iters, n=s.newton_iters, bz=bz, bl=bl, bv=bv,
@@ -281,7 +306,8 @@ def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
             # Begin-subproblem header (reference: PrintDetailedHeader,
             # impl.h:446-460), printed only when continuing (impl.h:170-172).
             def _hdr():
-                jax.debug.print(
+                _dbg_print(
+                    stream,
                     "Begin Prox Iter: {k}, Total Newton Iters: {n}, "
                     "Residual: {e:6.4e}\n"
                     "      Iter   Step Size        |rz|        |rl|"
@@ -297,7 +323,8 @@ def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
         def run_subproblem(operand):
             xk, itol, Ek_, n_iters = operand
             return _solve_proximal_subproblem(
-                ops, data, b_vec, xk, xk, itol, sigma, Ek_, n_iters, opts)
+                ops, data, b_vec, xk, xk, itol, sigma, Ek_, n_iters, opts,
+                stream)
 
         def skip_subproblem(operand):
             xk, _, _, n_iters = operand
@@ -371,7 +398,8 @@ def fbstab_solve(ops: ProblemOps, data, z0, l0, v0,
     # Column header, printed once per solve (reference: PrintIterHeader,
     # impl.h:428-441, called before the outer loop at impl.h:155).
     if opts.display_level == Display.ITER:
-        jax.debug.print(
+        _dbg_print(
+            stream,
             "   prox iter  newton iters          |rz|          |rl|"
             "          |rv|     Inner res     Inner tol")
 

@@ -295,17 +295,27 @@ class FBstabDense:
     primal-dual guess (the caller threads it between calls).
     """
 
-    def __init__(self, nz: int, nl: int, nv: int, dtype=jnp.float64):
+    def __init__(self, nz: int, nl: int, nv: int, dtype=jnp.float64,
+                 stream=None):
         if nz <= 0 or nv <= 0 or nl < 0:
             raise ValueError("FBstabDense requires nz > 0, nv > 0, nl >= 0.")
         self.nz, self.nl, self.nv = nz, nl, nv
         self.dtype = dtype
         self._options = Options.default()
+        self._stream = stream
         self._compiled = None
 
     def update_options(self, options: Options) -> None:
         """Reference: FBstabDense::UpdateOptions (fbstab_dense.cc:44-48)."""
         self._options = options.validated()
+        self._compiled = None
+
+    def set_stream(self, stream) -> None:
+        """Injects an OutputStream receiving ALL solver output (ITER
+        tables from inside the jitted solve + the FINAL summary) — the
+        reference's Solve(qp, &x, os) embedder hook
+        (tools/output_stream.h:15-38). Triggers a recompile."""
+        self._stream = stream
         self._compiled = None
 
     @property
@@ -325,6 +335,8 @@ class FBstabDense:
             opts = self._options
             from fbstab_tpu.utils.compile import tpu_compiler_options
 
+            stream = self._stream
+
             def f(d, z, l, v):
                 from fbstab_tpu.models.refine import (
                     refine_engaged, refine_solution_dense)
@@ -332,12 +344,14 @@ class FBstabDense:
                     scaling_engaged, solve_scaled_dense)
                 if not (scaling_engaged(opts, z.dtype)
                         or refine_engaged(opts, z.dtype)):
-                    return fbstab_solve(DENSE_OPS, d, z, l, v, opts)
+                    return fbstab_solve(DENSE_OPS, d, z, l, v, opts,
+                                        stream=stream)
                 bat = lambda t: jax.tree.map(lambda a: a[None], t)
                 unbat = lambda t: jax.tree.map(lambda a: a[0], t)
                 raw = lambda dd, zz, ll, vv: jax.vmap(
                     lambda d1, z1, l1, v1: fbstab_solve(
-                        DENSE_OPS, d1, z1, l1, v1, opts))(dd, zz, ll, vv)
+                        DENSE_OPS, d1, z1, l1, v1, opts, stream=stream)
+                )(dd, zz, ll, vv)
                 xb, coreb = solve_scaled_dense(
                     raw, bat(d), z[None], l[None], v[None], opts)
                 if refine_engaged(opts, z.dtype):
@@ -349,11 +363,13 @@ class FBstabDense:
                 f, compiler_options=tpu_compiler_options())
         return self._compiled
 
-    def solve(self, data: DenseQPData, x0: Optional[Variable] = None
-              ) -> tuple[Variable, SolverOut]:
+    def solve(self, data: DenseQPData, x0: Optional[Variable] = None,
+              stream=None) -> tuple[Variable, SolverOut]:
         """Solves one QP. x0 is the warmstart (origin if omitted); the
         returned Variable replaces it, matching the reference's
-        overwrite-the-guess contract (fbstab_algorithm.h:129-142)."""
+        overwrite-the-guess contract (fbstab_algorithm.h:129-142).
+        `stream` overrides the FINAL-summary sink for this call (use
+        set_stream to also capture the traced ITER tables)."""
         self._validate(data)
         if x0 is None:
             x0 = Variable(
@@ -375,7 +391,7 @@ class FBstabDense:
             solve_time=jnp.asarray(elapsed),
             initial_residual=core.initial_residual,
             raw_residual=core.raw_residual)
-        self._maybe_print_final(out, data, x)
+        self._maybe_print_final(out, data, x, stream)
         return x, out
 
     def _validate(self, data: DenseQPData) -> None:
@@ -392,7 +408,7 @@ class FBstabDense:
                     f"expected {want}.")
 
     def _maybe_print_final(self, out: SolverOut, data: DenseQPData,
-                           x: Variable) -> None:
+                           x: Variable, stream=None) -> None:
         from fbstab_tpu.options import Display
         from fbstab_tpu.utils.printing import print_final
         if self._options.display_level < Display.FINAL:
@@ -410,4 +426,5 @@ class FBstabDense:
             DENSE_OPS, data, x, self._options.alpha))
         combo = float(self._options.abs_tol + self._options.rel_tol
                       * (1.0 + _forcing_norm(data)))
-        print_final(out, self._options, block_norms=bn, combo_tol=combo)
+        print_final(out, self._options, stream=stream or self._stream,
+                    block_norms=bn, combo_tol=combo)

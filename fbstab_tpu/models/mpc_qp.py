@@ -1018,7 +1018,7 @@ class FBstabMpc:
     """
 
     def __init__(self, N: int, nx: int, nu: int, nc: int,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, stream=None):
         if N <= 0 or nx <= 0 or nu <= 0 or nc <= 0:
             raise ValueError("FBstabMpc requires N, nx, nu, nc > 0.")
         self.N, self.nx, self.nu, self.nc = N, nx, nu, nc
@@ -1027,11 +1027,22 @@ class FBstabMpc:
         self.nv = (N + 1) * nc
         self.dtype = dtype
         self._options = Options.default()
+        self._stream = stream
         self._compiled = None
 
     def update_options(self, options: Options) -> None:
         """Reference: FBstabMpc::UpdateOptions (fbstab_mpc.cc:95-99)."""
         self._options = options.validated()
+        self._compiled = None
+
+    def set_stream(self, stream) -> None:
+        """Injects an OutputStream that receives ALL solver output —
+        the ITER / ITER_DETAILED tables (via an ordered debug callback
+        from inside the jitted solve) and the FINAL summary — the
+        reference's Solve(qp, &x, os) embedder hook
+        (tools/output_stream.h:15-38, fbstab_dense.h:136-149). Triggers
+        a recompile (the sink is bound at trace time)."""
+        self._stream = stream
         self._compiled = None
 
     @property
@@ -1051,6 +1062,8 @@ class FBstabMpc:
             opts = self._options
             from fbstab_tpu.utils.compile import tpu_compiler_options
 
+            stream = self._stream
+
             def f(d, z, l, v):
                 from fbstab_tpu.models.refine import (
                     refine_engaged, refine_solution_mpc)
@@ -1058,14 +1071,16 @@ class FBstabMpc:
                     scaling_engaged, solve_scaled_mpc)
                 if not (scaling_engaged(opts, z.dtype)
                         or refine_engaged(opts, z.dtype)):
-                    return fbstab_solve(MPC_OPS, d, z, l, v, opts)
+                    return fbstab_solve(MPC_OPS, d, z, l, v, opts,
+                                        stream=stream)
                 # f32 product path: batch the instance and reuse the
                 # equilibrated + refined batch machinery.
                 bat = lambda t: jax.tree.map(lambda a: a[None], t)
                 unbat = lambda t: jax.tree.map(lambda a: a[0], t)
                 raw = lambda dd, zz, ll, vv: jax.vmap(
                     lambda d1, z1, l1, v1: fbstab_solve(
-                        MPC_OPS, d1, z1, l1, v1, opts))(dd, zz, ll, vv)
+                        MPC_OPS, d1, z1, l1, v1, opts, stream=stream)
+                )(dd, zz, ll, vv)
                 xb, coreb = solve_scaled_mpc(
                     raw, bat(d), z[None], l[None], v[None], opts)
                 if refine_engaged(opts, z.dtype):
@@ -1077,9 +1092,11 @@ class FBstabMpc:
                 f, compiler_options=tpu_compiler_options())
         return self._compiled
 
-    def solve(self, data: MpcQPData, x0: Optional[Variable] = None
-              ) -> tuple[Variable, SolverOut]:
-        """Solves one MPC QP from the warmstart x0 (origin if omitted)."""
+    def solve(self, data: MpcQPData, x0: Optional[Variable] = None,
+              stream=None) -> tuple[Variable, SolverOut]:
+        """Solves one MPC QP from the warmstart x0 (origin if omitted).
+        `stream` overrides the FINAL-summary sink for this call (use
+        set_stream to also capture the traced ITER tables)."""
         self._validate(data)
         if x0 is None:
             x0 = Variable(
@@ -1101,7 +1118,7 @@ class FBstabMpc:
             solve_time=jnp.asarray(elapsed),
             initial_residual=core.initial_residual,
             raw_residual=core.raw_residual)
-        self._maybe_print_final(out, data, x)
+        self._maybe_print_final(out, data, x, stream)
         return x, out
 
     def _validate(self, data: MpcQPData) -> None:
@@ -1119,7 +1136,7 @@ class FBstabMpc:
                     f"expected {want}.")
 
     def _maybe_print_final(self, out: SolverOut, data: MpcQPData,
-                           x: Variable) -> None:
+                           x: Variable, stream=None) -> None:
         from fbstab_tpu.options import Display
         from fbstab_tpu.utils.printing import print_final
         if self._options.display_level < Display.FINAL:
@@ -1133,4 +1150,5 @@ class FBstabMpc:
             MPC_OPS, data, x, self._options.alpha))
         combo = float(self._options.abs_tol + self._options.rel_tol
                       * (1.0 + _forcing_norm(data)))
-        print_final(out, self._options, block_norms=bn, combo_tol=combo)
+        print_final(out, self._options, stream=stream or self._stream,
+                    block_norms=bn, combo_tol=combo)

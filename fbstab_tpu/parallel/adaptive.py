@@ -136,6 +136,82 @@ def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
     return finish(x, core)
 
 
+def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
+                                options: Options,
+                                phase1_newton_iters: int = 25,
+                                phase2_size: int | None = None,
+                                phase2_options: Optional[Options] = None):
+    """Fully JITTABLE two-phase adaptive solve: fixed shapes, no host
+    sync — composable with shard_map / pjit (VERDICT r2 item 6; the host
+    version above cannot run inside the flagship multi-chip path).
+
+    Phase 1 runs with a small Newton budget; up to `phase2_size`
+    stragglers (default B // 4) are compacted ON DEVICE into a
+    fixed-shape phase-2 batch, re-solved warmstarted with a
+    reliable-leaning profile, and scattered back. Stragglers beyond
+    phase2_size keep their phase-1 (budget-exit) results — size the cap
+    for the expected tail. Mixed-precision refinement is deferred to
+    after the merge (refine_fn), as in the host version.
+    """
+    opts = options.validated()
+    opts1 = dataclasses.replace(
+        opts, max_newton_iters=phase1_newton_iters, refine_steps=0)
+    opts2 = (phase2_options.validated() if phase2_options is not None
+             else reliable_leaning(opts))
+    opts2 = dataclasses.replace(opts2, refine_steps=0)
+
+    x1, core1 = solve_batch(data, z0, l0, v0, opts1)
+    retry = ((core1.eflag == int(ExitFlag.MAXITERATIONS))
+             | (core1.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)))
+    B = core1.eflag.shape[0]
+    P = phase2_size if phase2_size is not None else max(B // 4, 1)
+    P = min(P, B)
+    count = jnp.sum(retry)
+    idx = jnp.nonzero(retry, size=P, fill_value=0)[0]
+    valid = jnp.arange(P) < count
+
+    # Strip batch-last transposed copies before gathering (the phase-2
+    # dispatch rebuilds its own, once).
+    from fbstab_tpu.models.mpc_qp import MpcQPData, MpcQPDataT
+    base = data
+    if isinstance(data, MpcQPDataT):
+        base = MpcQPData(
+            **{f: getattr(data, f) for f in MpcQPData._fields})
+    take = lambda tree: jax.tree.map(lambda a: a[idx], tree)
+    sub = take(base)
+    sx = take(x1)
+    x2, core2 = solve_batch(sub, sx.z, sx.l, sx.v, opts2)
+
+    # Scatter back: invalid (padding) rows are dropped via an
+    # out-of-bounds index, so nothing aliases lane 0.
+    idx_safe = jnp.where(valid, idx, B)
+    upd = lambda a, b: a.at[idx_safe].set(b, mode="drop")
+    x = jax.tree.map(upd, x1, x2)
+    core = jax.tree.map(upd, core1, core2)
+    core = core._replace(
+        newton_iters=core.newton_iters.at[idx_safe].add(
+            core1.newton_iters[idx], mode="drop"),
+        prox_iters=core.prox_iters.at[idx_safe].add(
+            core1.prox_iters[idx], mode="drop"),
+        initial_residual=core1.initial_residual)
+
+    from fbstab_tpu.models.refine import refine_engaged
+    if refine_fn is not None and refine_engaged(opts, z0.dtype):
+        return refine_fn(base, x, core, opts)
+    return x, core
+
+
+def solve_mpc_qp_batch_adaptive_device(data, z0, l0, v0, options: Options,
+                                       **kwargs):
+    """Device-side (jittable, shard_map-safe) adaptive MPC batch solve."""
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.models.refine import refine_solution_mpc
+
+    return solve_batch_adaptive_device(
+        solve_mpc_qp_batch, refine_solution_mpc, data, z0, l0, v0,
+        options, **kwargs)
+
+
 def solve_mpc_qp_batch_adaptive(data, z0, l0, v0, options: Options,
                                 **kwargs):
     """Adaptive two-phase MPC batch solve on the fused dispatch path."""

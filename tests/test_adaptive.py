@@ -106,3 +106,62 @@ def test_adaptive_on_fused_kernel_path(monkeypatch):
     # Everyone ends SUCCESS and agrees with the full solve numerically.
     assert (np.asarray(core.eflag) == int(ExitFlag.SUCCESS)).all()
     np.testing.assert_allclose(x.z, x_ref.z, atol=1e-6)
+
+
+def test_device_adaptive_matches_oneshot_and_is_jittable():
+    """The device-side two-phase scheme (fixed shapes, no host sync) must
+    converge everywhere under jit and match a full-budget one-shot
+    solve (VERDICT r2 item 6)."""
+    from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
+    from fbstab_tpu.parallel.adaptive import solve_batch_adaptive_device
+
+    B, n, q = 16, 8, 12
+    data, z0, l0, v0 = _dense_batch(B, n, q)
+    opts = Options(abs_tol=1e-8)
+
+    fn = jax.jit(lambda d, z, l, v: solve_batch_adaptive_device(
+        solve_dense_qp_batch, None, d, z, l, v, opts,
+        phase1_newton_iters=4, phase2_size=16))
+    x, core = fn(data, z0, l0, v0)
+    assert (np.asarray(core.eflag) == ExitFlag.SUCCESS).all()
+
+    x1, core1 = solve_dense_qp_batch(data, z0, l0, v0, opts)
+    np.testing.assert_allclose(np.asarray(x.z), np.asarray(x1.z),
+                               atol=1e-6)
+    # Retried lanes accumulate both phases' iterations.
+    assert (np.asarray(core.newton_iters)
+            >= np.asarray(core1.newton_iters)).any()
+
+
+def test_device_adaptive_under_sharded_mesh():
+    """Composes with shard_map over the 8-virtual-device mesh: each shard
+    compacts its own stragglers; stats reduce over the global batch."""
+    from fbstab_tpu.parallel.sharded import (
+        make_mesh, shard_batch, sharded_mpc_solver_adaptive)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    B = 32
+    data, _ = ocp_fixtures.double_integrator(5)
+    batch = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), data)
+    rng = np.random.default_rng(3)
+    batch = batch._replace(
+        x0=jnp.asarray(0.05 * np.abs(rng.standard_normal((B, 2)))))
+    nz, nl, nv = 6 * 3, 6 * 2, 6 * 6
+    z0 = jnp.zeros((B, nz))
+    l0 = jnp.zeros((B, nl))
+    v0 = jnp.zeros((B, nv))
+    solver = sharded_mpc_solver_adaptive(
+        mesh, Options(abs_tol=1e-8), phase1_newton_iters=3,
+        phase2_size=4)
+    args = shard_batch(mesh, (batch, z0, l0, v0))
+    x, core, stats = solver(*args)
+    assert int(stats.num_instances) == B
+    assert int(stats.num_success) == B, np.asarray(core.eflag)
+    # Cross-check against the unsharded one-shot solve.
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    x1, core1 = solve_mpc_qp_batch(batch, z0, l0, v0,
+                                   Options(abs_tol=1e-8))
+    np.testing.assert_allclose(np.asarray(x.z), np.asarray(x1.z),
+                               atol=1e-6)

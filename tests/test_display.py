@@ -84,3 +84,70 @@ def test_batch_final_summary():
     assert "4 instances" in text
     assert "success: 2" in text and "infeasible: 1" in text \
         and "failed: 1" in text
+
+
+def test_iter_table_through_injected_stream():
+    """VERDICT r2 item 7: an embedder-injected OutputStream must receive
+    the FULL solver output — the traced ITER table (via the ordered
+    debug callback inside the jitted solve) and the FINAL summary —
+    matching the reference's Solve(qp, &x, os) hook
+    (tools/output_stream.h:15-38, fbstab_dense.h:136-149)."""
+    import jax
+
+    from fbstab_tpu import FBstabDense, Options, dense_qp_data
+    from fbstab_tpu.options import Display
+
+    class Sink:
+        def __init__(self):
+            self.buf = []
+
+        def print(self, msg):
+            self.buf.append(msg)
+
+    sink = Sink()
+    data = dense_qp_data(
+        H=[[3.0, 1.0], [1.0, 1.0]], f=[10.0, 5.0],
+        A=[[-1.0, 0.0], [0.0, 1.0]], b=[0.0, 0.0])
+    solver = FBstabDense(2, 0, 2, stream=sink)
+    solver.update_options(Options(abs_tol=1e-8,
+                                  display_level=Display.ITER))
+    x, out = solver.solve(data)
+    # Callbacks flush when results materialize; force it.
+    jax.effects_barrier()
+    text = "".join(sink.buf)
+    # Column header + at least one outer-iteration line + the final
+    # summary, all in the injected sink (nothing required on stdout).
+    assert "prox iter" in text and "|rz|" in text
+    assert "Optimization completed!" in text
+    import re
+    rows = [ln for ln in text.splitlines()
+            if re.match(r"\s+\d+\s+\d+\s+\d", ln)]
+    assert len(rows) >= 1, text
+
+
+def test_iter_detailed_through_injected_stream():
+    import jax
+
+    from fbstab_tpu import FBstabDense, Options, dense_qp_data
+    from fbstab_tpu.options import Display
+
+    class Sink:
+        def __init__(self):
+            self.buf = []
+
+        def print(self, msg):
+            self.buf.append(msg)
+
+    sink = Sink()
+    data = dense_qp_data(
+        H=[[3.0, 1.0], [1.0, 1.0]], f=[10.0, 5.0],
+        A=[[-1.0, 0.0], [0.0, 1.0]], b=[0.0, 0.0])
+    solver = FBstabDense(2, 0, 2)
+    solver.set_stream(sink)
+    solver.update_options(Options(
+        abs_tol=1e-8, display_level=Display.ITER_DETAILED))
+    solver.solve(data)
+    jax.effects_barrier()
+    text = "".join(sink.buf)
+    assert "Begin Prox Iter" in text
+    assert "Exiting inner loop" in text
