@@ -791,12 +791,25 @@ def run_plants(B=None):
     }))
 
 
+def executed_refine_steps(core) -> int:
+    """EXECUTED refinement iterations from a solve's CoreOut/SolverOut —
+    the value the perf model must be fed (never Options.refine_steps,
+    which is only the early-exit loop's maximum)."""
+    return int(np.max(np.asarray(core.refine_steps)))
+
+
 def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
                    tile_b=128):
     """Auditable first-order performance model for the fused MPC solver
     (VERDICT r2 item 9): per-solve FLOPs, sustained FLOP/s, and % of the
     VPU instruction-issue bound, all derivable from this function + the
     measured (newton_iters, t_solve) that ride the bench JSON.
+
+    `refine_steps` must be the EXECUTED early-exit loop count
+    (CoreOut.refine_steps) — NOT Options.refine_steps, which is only the
+    maximum (24 by default, typically ~3 executed): feeding the maximum
+    overstates the refine term ~8x and made the round-3 model report an
+    impossible 185% of its own issue bound.
 
     Model: per Newton iteration the solver does one Riccati
     factorization + one back-solve + ~2.5 residual evaluations (one KKT,
@@ -850,6 +863,7 @@ def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
         "flops_per_solve_mean": int(flops_solve_mean),
         "sustained_gflops": round(sustained / 1e9, 2),
         "newton_iters_mean": round(float(ni.mean()), 2),
+        "executed_refine_steps": int(refine_steps),
         "lockstep_tile_iters": lockstep_iters,
         "vpu_op_ns": 12.0,
         "issue_bound_s": round(t_issue_bound, 4),
@@ -927,9 +941,9 @@ def main():
     qps = B / min(times)
 
     # Contract verification (outside the timed window): the returned
-    # solution is a double-float pair (refine_steps=3 is the f32 product
-    # default); recompute its penalized natural residual entirely in
-    # host float64.
+    # solution is a double-float pair (the f32 product default refines
+    # until the 1e-6 target, refine_steps=24 max / ~3 executed);
+    # recompute its penalized natural residual entirely in host float64.
     if hasattr(x, "to_float64"):
         sol = x.to_float64()
         res64 = f64_pnr_np(fresh, sol.z, sol.l, sol.v, opts.alpha)
@@ -939,7 +953,7 @@ def main():
                            np.asarray(x.v, np.float64), opts.alpha)
     frac_1e6 = float(np.mean(res64 <= 1e-6))
     pm = mpc_perf_model(B, N, nx, nu, nc, core.newton_iters, min(times),
-                        opts.refine_steps)
+                        executed_refine_steps(core))
 
     print(f"bench: platform={platform} B={B} N={N} nx={nx} nu={nu} nc={nc} "
           f"success={success:.3f} times={['%.3f' % t for t in times]} "

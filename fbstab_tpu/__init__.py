@@ -60,8 +60,12 @@ from fbstab_tpu.models.refine import (
 from fbstab_tpu.models.scaling import (
     DenseScaling,
     MpcScaling,
+    apply_dense_scaling,
+    apply_mpc_scaling,
     equilibrate_dense,
     equilibrate_mpc,
+    ruiz_dense_scaling,
+    ruiz_mpc_scaling,
 )
 from fbstab_tpu.models.sparse_qp import (
     FBstabSparse,
@@ -100,8 +104,12 @@ __all__ = [
     "Variable",
     "VariableDF",
     "dense_qp_data",
+    "apply_dense_scaling",
+    "apply_mpc_scaling",
     "equilibrate_dense",
     "equilibrate_mpc",
+    "ruiz_dense_scaling",
+    "ruiz_mpc_scaling",
     "fbstab_solve",
     "make_differentiable_batch_solver",
     "make_differentiable_solver",

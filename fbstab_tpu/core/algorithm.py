@@ -80,6 +80,11 @@ class CoreOut(NamedTuple):
     prox_iters: jnp.ndarray
     initial_residual: jnp.ndarray
     raw_residual: jnp.ndarray
+    # EXECUTED mixed-precision refinement iterations (scalar, batch-global:
+    # the early-exit while_loop count, models/refine.py). 0 out of the core
+    # solver and whenever refinement is off; Options.refine_steps is only
+    # the MAXIMUM. Written by the batch dispatchers.
+    refine_steps: jnp.ndarray = 0
 
 
 def _select_tree(pred, a, b):

@@ -106,7 +106,8 @@ class _BatchFacadeBase:
             newton_iters=core.newton_iters, prox_iters=core.prox_iters,
             solve_time=jnp.asarray(elapsed),
             initial_residual=core.initial_residual,
-            raw_residual=core.raw_residual)
+            raw_residual=core.raw_residual,
+            refine_steps=core.refine_steps)
         stats = batch_stats(core)
         self.last_stats = stats
         if self._options.display_level >= Display.FINAL:

@@ -262,8 +262,13 @@ def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
                                                 v1, opts)
         )(d, z, l, v)
 
-    from fbstab_tpu.models.scaling import solve_scaled_dense
-    x, core = solve_scaled_dense(raw, data, z0, l0, v0, opts)
+    from fbstab_tpu.models.scaling import (
+        ruiz_dense_scaling, scaling_engaged, solve_scaled_dense)
+    # Compute the Ruiz scaling ONCE and share it across the solve, the
+    # failure-retry pass, and the refinement loop.
+    scal = (jax.vmap(ruiz_dense_scaling)(data)
+            if scaling_engaged(opts, z0.dtype) else None)
+    x, core = solve_scaled_dense(raw, data, z0, l0, v0, opts, scal=scal)
     if opts.retry_failed and z0.dtype == jnp.float32:
         from fbstab_tpu.models.scaling import (
             merge_failed_retry, retry_options)
@@ -272,12 +277,12 @@ def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
         m = (core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED))[:, None]
         x2, core2 = solve_scaled_dense(
             raw, data, jnp.where(m, z0, x.z), jnp.where(m, l0, x.l),
-            jnp.where(m, v0, x.v), ropts)
+            jnp.where(m, v0, x.v), ropts, scal=scal)
         x, core = merge_failed_retry(x, core, x2, core2)
     from fbstab_tpu.models.refine import refine_engaged
     if refine_engaged(opts, z0.dtype):
         from fbstab_tpu.models.refine import refine_solution_dense
-        return refine_solution_dense(data, x, core, opts)
+        return refine_solution_dense(data, x, core, opts, scal=scal)
     return x, core
 
 
@@ -390,7 +395,8 @@ class FBstabDense:
             newton_iters=core.newton_iters, prox_iters=core.prox_iters,
             solve_time=jnp.asarray(elapsed),
             initial_residual=core.initial_residual,
-            raw_residual=core.raw_residual)
+            raw_residual=core.raw_residual,
+            refine_steps=core.refine_steps)
         self._maybe_print_final(out, data, x, stream)
         return x, out
 

@@ -936,7 +936,7 @@ def _solve_mpc_qp_batch_raw(data: MpcQPData, z0, l0, v0,
 
 def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
                        options: Options = Options(),
-                       riccati: str = "auto"):
+                       riccati: str = "auto", scaling=None):
     """Batched MPC solve: leading batch axis on every data array and guess.
     The TPU 'DP' analog of running one solver per control loop
     (SURVEY.md section 2).
@@ -973,14 +973,28 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
        meeting the reference's 1e-6 accuracy contract (`.hi()` gives
        the f32 Variable view), `CoreOut.residual` the double-float-
        verified value and `CoreOut.raw_residual` the pre-refinement
-       one. With refinement off the solution is a plain Variable."""
+       one. With refinement off the solution is a plain Variable.
+
+    scaling: optional precomputed batched MpcScaling for `data` (from
+    vmap(ruiz_mpc_scaling)) — receding-horizon drivers compute it once
+    per plant and reuse it every control step. When engaged and not
+    given, the Ruiz scaling is computed ONCE here and shared by the
+    solve, the failure-retry pass, and the refinement loop."""
     opts = options.validated()
-    from fbstab_tpu.models.scaling import solve_scaled_mpc
+    from fbstab_tpu.models.scaling import (
+        ruiz_mpc_scaling, scaling_engaged, solve_scaled_mpc)
+
+    scal = scaling
+    if scal is None and scaling_engaged(opts, z0.dtype):
+        base = (MpcQPData(**{f: getattr(data, f)
+                             for f in MpcQPData._fields})
+                if isinstance(data, MpcQPDataT) else data)
+        scal = jax.vmap(ruiz_mpc_scaling)(base)
 
     def scaled_solve(o, d, z, l, v):
         return solve_scaled_mpc(
             lambda dd, zz, ll, vv: _solve_mpc_qp_batch_raw(
-                dd, zz, ll, vv, o, riccati), d, z, l, v, o)
+                dd, zz, ll, vv, o, riccati), d, z, l, v, o, scal=scal)
 
     x, core = scaled_solve(opts, data, z0, l0, v0)
     if opts.retry_failed and z0.dtype == jnp.float32:
@@ -1000,7 +1014,7 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
     from fbstab_tpu.models.refine import refine_engaged
     if refine_engaged(opts, z0.dtype):
         from fbstab_tpu.models.refine import refine_solution_mpc
-        return refine_solution_mpc(data, x, core, opts)
+        return refine_solution_mpc(data, x, core, opts, scal=scal)
     return x, core
 
 
@@ -1117,7 +1131,8 @@ class FBstabMpc:
             newton_iters=core.newton_iters, prox_iters=core.prox_iters,
             solve_time=jnp.asarray(elapsed),
             initial_residual=core.initial_residual,
-            raw_residual=core.raw_residual)
+            raw_residual=core.raw_residual,
+            refine_steps=core.refine_steps)
         self._maybe_print_final(out, data, x, stream)
         return x, out
 

@@ -210,5 +210,6 @@ def fbstab_mpc_solve_subfused(data, z0, l0, v0, options: Options,
         prox_iters=final["prox_iters"],
         initial_residual=E0,
         raw_residual=out_res,
+        refine_steps=jnp.zeros_like(eflag),   # per-lane (B,)
     )
     return out_x, out

@@ -136,10 +136,18 @@ def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
     l0 = jnp.zeros((B, nl), dtype)
     v0 = jnp.zeros((B, nv), dtype)
 
+    # The Ruiz scaling depends on every data field except x0/c, and the
+    # closed loop only moves x0 — compute it ONCE here instead of every
+    # control step inside the scan (it would otherwise run 12 Ruiz
+    # iterations per step on identical plant data).
+    from fbstab_tpu.models.scaling import ruiz_mpc_scaling, scaling_engaged
+    scal = (jax.vmap(ruiz_mpc_scaling)(batch)
+            if scaling_engaged(opts, dtype) else None)
+
     def step(carry, _):
         xk, gz, gl, gv = carry
         d = batch._replace(x0=xk)
-        sol, core = solve_mpc_qp_batch(d, gz, gl, gv, opts)
+        sol, core = solve_mpc_qp_batch(d, gz, gl, gv, opts, scaling=scal)
         # With refinement engaged (opts.refine_steps on f32) the solution
         # is a double-float pair; the f32 view is all the next warmstart
         # needs, while core.residual reports the refined (contract-grade)

@@ -623,67 +623,81 @@ def _splice_df(refined: VariableDF, x: Variable, good) -> VariableDF:
                       v=pick(refined.v, x.v), y=pick(refined.y, x.y))
 
 
-def _finish_refine(refined, x, core, good, res0, res):
+def _finish_refine(refined, x, core, good, res0, res, steps):
     """Splice + report: refined point on lanes that are good AND actually
     improved; the raw point (lo = 0) elsewhere. `residual` becomes the
     double-float-verified original-units value at the RETURNED point;
     `raw_residual` keeps the pre-refinement (df-verified) value for good
-    lanes and the solver's own value otherwise."""
+    lanes and the solver's own value otherwise. `steps` is the EXECUTED
+    early-exit loop count (observability + the bench perf model, which
+    must never be fed Options.refine_steps — that is only the maximum)."""
     use = good & (res <= res0)
     sol = _splice_df(refined, x, use)
     rdt = core.residual.dtype
     reported = jnp.where(use, res.astype(rdt),
                          jnp.where(good, res0.astype(rdt), core.residual))
     raw = jnp.where(good, res0.astype(rdt), core.residual)
-    return sol, core._replace(residual=reported, raw_residual=raw)
+    # Broadcast the loop's step count per lane: every batch consumer
+    # (sharded out_specs, adaptive scatter, ragged trim) then treats it
+    # like the other lane fields.
+    steps_b = jnp.full(core.eflag.shape, steps, jnp.int32)
+    return sol, core._replace(residual=reported, raw_residual=raw,
+                              refine_steps=steps_b)
 
 
-def refine_solution_mpc(data, x: Variable, core, options: Options
-                        ) -> tuple[VariableDF, object]:
+def refine_solution_mpc(data, x: Variable, core, options: Options,
+                        scal=None) -> tuple[VariableDF, object]:
     """Polishes SUCCESS lanes of a batched MPC solve and rewrites the
     CoreOut: `residual` becomes the double-float-verified penalized
     natural residual (ORIGINAL units, original data) at the refined
     point, `raw_residual` the pre-refinement value. With
     Options.equilibrate the corrections are preconditioned by the
-    Ruiz-equilibrated problem. Jittable; shard_map-safe."""
+    Ruiz-equilibrated problem (pass the solve's own batched MpcScaling
+    as `scal` to skip recomputing it). Jittable; shard_map-safe."""
     opts = options.validated()
     base = (MpcQPData(**{f: getattr(data, f) for f in MpcQPData._fields})
             if isinstance(data, _mpc.MpcQPDataT) else data)
     good = core.eflag == int(ExitFlag.SUCCESS)
     if opts.equilibrate:
         from fbstab_tpu.models.scaling import (
-            equilibrate_mpc, scale_mpc_variable, unscale_mpc_variable_df)
-        sdata, scal = jax.vmap(equilibrate_mpc)(base)
+            apply_mpc_scaling, ruiz_mpc_scaling, scale_mpc_variable,
+            unscale_mpc_variable_df)
+        if scal is None:
+            scal = jax.vmap(ruiz_mpc_scaling)(base)
+        sdata = jax.vmap(apply_mpc_scaling)(base, scal)
         xs = scale_mpc_variable(x, scal)        # exact (pow2 diagonals)
-        refined_s, _, _, _ = _refine_mpc_loop(sdata, xs, opts, good, scal)
+        refined_s, _, _, steps = _refine_mpc_loop(sdata, xs, opts, good,
+                                                  scal)
         refined = unscale_mpc_variable_df(refined_s, scal)
     else:
-        refined, _, _, _ = _refine_mpc_loop(base, x, opts, good)
+        refined, _, _, steps = _refine_mpc_loop(base, x, opts, good)
     # Fresh, loop-independent evaluations of both points for the report
     # and the better-than-raw decision (see _pnr_df_at_mpc).
     res0 = _pnr_df_at_mpc(base, x, opts.alpha)
     res = _pnr_df_at_mpc(base, refined, opts.alpha)
-    return _finish_refine(refined, x, core, good, res0, res)
+    return _finish_refine(refined, x, core, good, res0, res, steps)
 
 
-def refine_solution_dense(data, x: Variable, core, options: Options
-                          ) -> tuple[VariableDF, object]:
+def refine_solution_dense(data, x: Variable, core, options: Options,
+                          scal=None) -> tuple[VariableDF, object]:
     """Dense-QP analog of refine_solution_mpc."""
     opts = options.validated()
     good = core.eflag == int(ExitFlag.SUCCESS)
     if opts.equilibrate:
         from fbstab_tpu.models.scaling import (
-            equilibrate_dense, scale_dense_variable,
+            apply_dense_scaling, ruiz_dense_scaling, scale_dense_variable,
             unscale_dense_variable_df)
-        sdata, scal = jax.vmap(equilibrate_dense)(data)
+        if scal is None:
+            scal = jax.vmap(ruiz_dense_scaling)(data)
+        sdata = jax.vmap(apply_dense_scaling)(data, scal)
         xs = scale_dense_variable(x, scal)
-        refined_s, _, _, _ = _refine_dense_loop(sdata, xs, opts, good,
-                                                scal)
+        refined_s, _, _, steps = _refine_dense_loop(sdata, xs, opts, good,
+                                                    scal)
         refined = unscale_dense_variable_df(refined_s, scal)
     else:
-        refined, _, _, _ = _refine_dense_loop(data, x, opts, good)
+        refined, _, _, steps = _refine_dense_loop(data, x, opts, good)
     res0 = _pnr_df_at_dense(data, x, opts.alpha)
     res = _pnr_df_at_dense(data, refined, opts.alpha)
-    return _finish_refine(refined, x, core, good, res0, res)
+    return _finish_refine(refined, x, core, good, res0, res, steps)
 
 

@@ -57,13 +57,27 @@ def _safe(n):
     return jnp.where(n > 0, n, 1.0)
 
 
-def equilibrate_mpc(d: MpcQPData, iters: int = RUIZ_ITERS
-                    ) -> tuple[MpcQPData, MpcScaling]:
-    """Ruiz equilibration of one MPC QP (jittable; vmap for batches).
+def _scaled_blocks_mpc(d: MpcQPData, dx, du, de):
+    Qs = dx[:, :, None] * d.Q * dx[:, None, :]
+    Ss = du[:, :, None] * d.S * dx[:, None, :]
+    Rs = du[:, :, None] * d.R * du[:, None, :]
+    As = d.A * dx[:-1][:, None, :] / dx[1:][:, :, None]
+    Bs = d.B * du[:-1][:, None, :] / dx[1:][:, :, None]
+    Es = de[:, :, None] * d.E * dx[:, None, :]
+    Ls = de[:, :, None] * d.L * du[:, None, :]
+    return Qs, Ss, Rs, As, Bs, Es, Ls
+
+
+def ruiz_mpc_scaling(d: MpcQPData, iters: int = RUIZ_ITERS) -> MpcScaling:
+    """The Ruiz scaling diagonals alone (jittable; vmap for batches).
 
     Iterates d <- d / sqrt(inf-norm of the scaled row/column), with state
     columns floored at 1 by the dynamics' -I entries, then normalizes the
-    cost block by a scalar kc (the OSQP-style cost scaling).
+    cost block by a scalar kc (the OSQP-style cost scaling). Depends on
+    every data field EXCEPT x0 and c — a receding-horizon driver can
+    compute it once and reuse it across control steps (the plant/cost
+    stay fixed; only x0 moves), and one solve's scaling serves its retry
+    and refinement passes too.
     """
     N, nx, nu, nc = mpc_dims(d)
     dtype = d.Q.dtype
@@ -71,15 +85,7 @@ def equilibrate_mpc(d: MpcQPData, iters: int = RUIZ_ITERS
     du0 = jnp.ones((N + 1, nu), dtype)
     de0 = jnp.ones((N + 1, nc), dtype)
 
-    def scaled_blocks(dx, du, de):
-        Qs = dx[:, :, None] * d.Q * dx[:, None, :]
-        Ss = du[:, :, None] * d.S * dx[:, None, :]
-        Rs = du[:, :, None] * d.R * du[:, None, :]
-        As = d.A * dx[:-1][:, None, :] / dx[1:][:, :, None]
-        Bs = d.B * du[:-1][:, None, :] / dx[1:][:, :, None]
-        Es = de[:, :, None] * d.E * dx[:, None, :]
-        Ls = de[:, :, None] * d.L * du[:, None, :]
-        return Qs, Ss, Rs, As, Bs, Es, Ls
+    scaled_blocks = lambda dx, du, de: _scaled_blocks_mpc(d, dx, du, de)
 
     def body(carry, _):
         dx, du, de = carry
@@ -129,14 +135,27 @@ def equilibrate_mpc(d: MpcQPData, iters: int = RUIZ_ITERS
     cost_mag = jnp.maximum(cost_mag, jnp.max(jnp.abs(dx * d.q)))
     cost_mag = jnp.maximum(cost_mag, jnp.max(jnp.abs(du * d.r)))
     kc = pow2(1.0 / jnp.clip(_safe(cost_mag), 1e-8, 1e8))
+    return MpcScaling(dx=dx, du=du, de=de, kc=kc)
 
-    scaled = MpcQPData(
-        Q=kc * Qs, R=kc * Rs, S=kc * Ss,
-        q=kc * dx * d.q, r=kc * du * d.r,
-        A=As, B=Bs, c=d.c / dx[1:],
-        E=Es, L=Ls, d=de * d.d,
-        x0=d.x0 / dx[0])
-    return scaled, MpcScaling(dx=dx, du=du, de=de, kc=kc)
+
+def apply_mpc_scaling(d: MpcQPData, s: MpcScaling) -> MpcQPData:
+    """Applies precomputed scaling diagonals to the data (exact: every
+    diagonal is a power of two)."""
+    Qs, Ss, Rs, As, Bs, Es, Ls = _scaled_blocks_mpc(d, s.dx, s.du, s.de)
+    return MpcQPData(
+        Q=s.kc * Qs, R=s.kc * Rs, S=s.kc * Ss,
+        q=s.kc * s.dx * d.q, r=s.kc * s.du * d.r,
+        A=As, B=Bs, c=d.c / s.dx[1:],
+        E=Es, L=Ls, d=s.de * d.d,
+        x0=d.x0 / s.dx[0])
+
+
+def equilibrate_mpc(d: MpcQPData, iters: int = RUIZ_ITERS
+                    ) -> tuple[MpcQPData, MpcScaling]:
+    """Ruiz equilibration of one MPC QP (jittable; vmap for batches):
+    ruiz_mpc_scaling + apply_mpc_scaling."""
+    s = ruiz_mpc_scaling(d, iters)
+    return apply_mpc_scaling(d, s), s
 
 
 def _flat_z(s: MpcScaling):
@@ -181,10 +200,17 @@ class DenseScaling(NamedTuple):
     kc: jnp.ndarray   # scalar
 
 
-def equilibrate_dense(d, iters: int = RUIZ_ITERS):
-    """Ruiz equilibration of one dense QP (models/dense_qp.DenseQPData).
-    Returns (scaled_data, DenseScaling): z = dz*z', l = dl*l'/kc,
-    v = de*v'/kc, y = y'/de."""
+def _scaled_blocks_dense(d, dz, dl, de):
+    Hs = dz[:, None] * d.H * dz[None, :]
+    Gs = dl[:, None] * d.G * dz[None, :]
+    As = de[:, None] * d.A * dz[None, :]
+    return Hs, Gs, As
+
+
+def ruiz_dense_scaling(d, iters: int = RUIZ_ITERS) -> DenseScaling:
+    """The Ruiz scaling diagonals for one dense QP
+    (models/dense_qp.DenseQPData): z = dz*z', l = dl*l'/kc, v = de*v'/kc,
+    y = y'/de."""
     nz = d.H.shape[-1]
     nl = d.G.shape[-2]
     nv = d.A.shape[-2]
@@ -193,11 +219,7 @@ def equilibrate_dense(d, iters: int = RUIZ_ITERS):
     dl0 = jnp.ones((max(nl, 1),), dtype)[:nl]
     de0 = jnp.ones((nv,), dtype)
 
-    def scaled(dz, dl, de):
-        Hs = dz[:, None] * d.H * dz[None, :]
-        Gs = dl[:, None] * d.G * dz[None, :]
-        As = de[:, None] * d.A * dz[None, :]
-        return Hs, Gs, As
+    scaled = lambda dz, dl, de: _scaled_blocks_dense(d, dz, dl, de)
 
     def body(carry, _):
         dz, dl, de = carry
@@ -223,11 +245,22 @@ def equilibrate_dense(d, iters: int = RUIZ_ITERS):
     cost_mag = jnp.maximum(jnp.max(jnp.abs(Hs)),
                            jnp.max(jnp.abs(dz * d.f)))
     kc = pow2(1.0 / jnp.clip(_safe(cost_mag), 1e-8, 1e8))
+    return DenseScaling(dz=dz, dl=dl, de=de, kc=kc)
 
-    scaled_data = type(d)(
-        H=kc * Hs, f=kc * dz * d.f,
-        G=Gs, h=dl * d.h, A=As, b=de * d.b)
-    return scaled_data, DenseScaling(dz=dz, dl=dl, de=de, kc=kc)
+
+def apply_dense_scaling(d, s: DenseScaling):
+    """Applies precomputed scaling diagonals (exact pow2 transform)."""
+    Hs, Gs, As = _scaled_blocks_dense(d, s.dz, s.dl, s.de)
+    return type(d)(
+        H=s.kc * Hs, f=s.kc * s.dz * d.f,
+        G=Gs, h=s.dl * d.h, A=As, b=s.de * d.b)
+
+
+def equilibrate_dense(d, iters: int = RUIZ_ITERS):
+    """Ruiz equilibration of one dense QP: ruiz_dense_scaling +
+    apply_dense_scaling."""
+    s = ruiz_dense_scaling(d, iters)
+    return apply_dense_scaling(d, s), s
 
 
 def dense_scale_factors(s: DenseScaling):
@@ -285,7 +318,7 @@ def scaling_engaged(options, dtype) -> bool:
     return bool(options.equilibrate) and dtype == jnp.float32
 
 
-def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options):
+def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options, scal=None):
     """Batched MPC solve through the equilibrated problem.
 
     raw_solve(data, z0, l0, v0) -> (Variable, CoreOut) on whatever data
@@ -296,6 +329,11 @@ def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options):
     (the solver's internal value is in scaled units and would mislead).
     Exit flags and iteration counts are the scaled solve's — convergence
     is judged in the equilibrated geometry, which is the point.
+
+    scal: optional precomputed batched MpcScaling for this data (from
+    vmap(ruiz_mpc_scaling)) — skips the Ruiz iteration. Callers that
+    solve/retry/refine the same problem, or a receding-horizon driver
+    whose plant data is fixed across steps, compute it once.
     """
     from fbstab_tpu.models.mpc_qp import MPC_OPS, MpcQPData, MpcQPDataT
 
@@ -304,7 +342,9 @@ def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options):
         return raw_solve(data, z0, l0, v0)
     base = (MpcQPData(**{f: getattr(data, f) for f in MpcQPData._fields})
             if isinstance(data, MpcQPDataT) else data)
-    sdata, scal = jax.vmap(equilibrate_mpc)(base)
+    if scal is None:
+        scal = jax.vmap(ruiz_mpc_scaling)(base)
+    sdata = jax.vmap(apply_mpc_scaling)(base, scal)
     g = scale_mpc_variable(
         Variable(z=z0, l=l0, v=v0, y=jnp.zeros_like(v0)), scal)
     x, core = raw_solve(sdata, g.z, g.l, g.v)
@@ -313,14 +353,16 @@ def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options):
     return x, core._replace(residual=res, raw_residual=res)
 
 
-def solve_scaled_dense(raw_solve, data, z0, l0, v0, options):
+def solve_scaled_dense(raw_solve, data, z0, l0, v0, options, scal=None):
     """Dense analog of solve_scaled_mpc."""
     from fbstab_tpu.models.dense_qp import DENSE_OPS
 
     opts = options.validated()
     if not scaling_engaged(opts, z0.dtype):
         return raw_solve(data, z0, l0, v0)
-    sdata, scal = jax.vmap(equilibrate_dense)(data)
+    if scal is None:
+        scal = jax.vmap(ruiz_dense_scaling)(data)
+    sdata = jax.vmap(apply_dense_scaling)(data, scal)
     g = scale_dense_variable(
         Variable(z=z0, l=l0, v=v0, y=jnp.zeros_like(v0)), scal)
     x, core = raw_solve(sdata, g.z, g.l, g.v)

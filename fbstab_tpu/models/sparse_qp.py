@@ -706,7 +706,8 @@ class FBstabSparse:
             newton_iters=core.newton_iters, prox_iters=core.prox_iters,
             solve_time=jnp.asarray(elapsed),
             initial_residual=core.initial_residual,
-            raw_residual=core.raw_residual)
+            raw_residual=core.raw_residual,
+            refine_steps=core.refine_steps)
         self._maybe_print_final(out, data, x)
         return x, out
 

@@ -496,8 +496,10 @@ def fbstab_dense_solve_fused(data, z0, l0, v0, options: Options,
         z=unprep(outs[0], n), l=l,
         v=unprep(outs[2], q), y=unprep(outs[3], q))
     res = unprep(outs[5], 0)
+    eflag = unprep(outs[4], 0)
     core = CoreOut(
-        eflag=unprep(outs[4], 0), residual=res,
+        eflag=eflag, residual=res,
         newton_iters=unprep(outs[6], 0), prox_iters=unprep(outs[7], 0),
-        initial_residual=unprep(outs[8], 0), raw_residual=res)
+        initial_residual=unprep(outs[8], 0), raw_residual=res,
+        refine_steps=jnp.zeros_like(eflag))   # per-lane (B,), see mpc kernel
     return x, core

@@ -1237,10 +1237,14 @@ def fbstab_mpc_solve_fused(data, z0, l0, v0, options: Options,
                   unprep(outs[2], N1 * nc), unprep(outs[3], N1 * nc))
     x = Variable(z=z, l=l, v=v, y=y)
     res = unprep(outs[5], 0)
+    eflag = unprep(outs[4], 0)
     core = CoreOut(
-        eflag=unprep(outs[4], 0), residual=res,
+        eflag=eflag, residual=res,
         newton_iters=unprep(outs[6], 0), prox_iters=unprep(outs[7], 0),
-        initial_residual=unprep(outs[8], 0), raw_residual=res)
+        initial_residual=unprep(outs[8], 0), raw_residual=res,
+        # Per-lane (B,) so batch consumers (sharded out_specs, adaptive
+        # scatter, ragged trim) treat it like every other lane field.
+        refine_steps=jnp.zeros_like(eflag))
     return x, core
 
 

@@ -121,8 +121,11 @@ def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
     x2, core2 = solve_batch(sub_data, sub_x.z, sub_x.l, sub_x.v, opts2)
 
     # Scatter phase-2 results back (first k entries are the real ones).
+    # 0-d CoreOut leaves (the batch-global executed-refine-steps counter)
+    # merge as the max over phases instead of a lane scatter.
     real = idx[:k]
-    upd = lambda a, b: a.at[real].set(b[:k])
+    upd = lambda a, b: (jnp.maximum(a, b) if jnp.ndim(a) == 0
+                        else a.at[real].set(b[:k]))
     x = jax.tree.map(upd, x1, x2)
     core = jax.tree.map(upd, core1, core2)
     # Iteration counters accumulate across phases; the initial residual
@@ -185,7 +188,9 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
     # Scatter back: invalid (padding) rows are dropped via an
     # out-of-bounds index, so nothing aliases lane 0.
     idx_safe = jnp.where(valid, idx, B)
-    upd = lambda a, b: a.at[idx_safe].set(b, mode="drop")
+    # (0-d leaves: see the max-merge note in the host-sync variant above.)
+    upd = lambda a, b: (jnp.maximum(a, b) if jnp.ndim(a) == 0
+                        else a.at[idx_safe].set(b, mode="drop"))
     x = jax.tree.map(upd, x1, x2)
     core = jax.tree.map(upd, core1, core2)
     core = core._replace(

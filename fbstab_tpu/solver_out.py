@@ -51,3 +51,6 @@ class SolverOut(NamedTuple):
     initial_residual: jnp.ndarray
     raw_residual: jnp.ndarray    # pre-refinement residual (== residual
                                  # when refinement is off)
+    refine_steps: jnp.ndarray = 0  # EXECUTED refinement iterations
+                                 # (batch-global early-exit loop count;
+                                 # Options.refine_steps is the maximum)

@@ -48,3 +48,45 @@ def test_builders_shapes(builder, nbatch):
         data, z0, l0, v0 = builder(nbatch, 4, 6, jnp.float64)
         assert data.H.shape == (nbatch, 4, 4)
     assert z0.shape[0] == nbatch
+
+
+def test_perf_model_reports_executed_refine_steps():
+    """The perf model's refine term must use the EXECUTED early-exit loop
+    count, not Options.refine_steps (round-3 bug: feeding the max of 24
+    put the model at an impossible 185% of its own issue bound)."""
+    import numpy as np
+
+    ni = np.full(256, 11, np.int32)
+    pm_exec = bench.mpc_perf_model(256, 30, 8, 3, 6, ni, 0.05, 3)
+    pm_max = bench.mpc_perf_model(256, 30, 8, 3, 6, ni, 0.05, 24)
+    assert pm_exec["executed_refine_steps"] == 3
+    # The refine term must actually enter the bound (max >> executed).
+    assert pm_max["issue_bound_s"] > pm_exec["issue_bound_s"] * 1.5
+
+
+def test_dispatch_returns_executed_refine_steps(monkeypatch):
+    """CoreOut.refine_steps carries the executed count out of the batch
+    dispatcher: positive when refinement engages, and strictly below the
+    24-step maximum on an easy well-scaled batch (the early exit)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import fbstab_tpu.models.mpc_qp as mpc
+    from fbstab_tpu.options import Options
+
+    monkeypatch.setattr(mpc, "PALLAS_MODE", "off")
+    import jax
+
+    jax.clear_caches()
+    mpc._make_fused_step.cache_clear()
+    opts = Options.single_precision()
+    data, z0, l0, v0 = bench.build_batch(8, 10, 4, 2, 4, jnp.float32)
+    x, core = mpc.solve_mpc_qp_batch(data, z0, l0, v0, opts)
+    executed = bench.executed_refine_steps(core)
+    assert 0 < executed < opts.refine_steps
+    # Raw path: no refinement -> zero executed steps.
+    import dataclasses
+    opts0 = dataclasses.replace(opts, refine_steps=0)
+    _, core0 = mpc.solve_mpc_qp_batch(data, z0, l0, v0, opts0)
+    assert bench.executed_refine_steps(core0) == 0
+    assert np.all(np.asarray(core.eflag) == 0)

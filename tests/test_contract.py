@@ -60,7 +60,9 @@ def test_single_precision_meets_1e6_contract(monkeypatch, plant, horizon,
     mpc._make_fused_step.cache_clear()
 
     dtype = jnp.float32
-    opts = Options.single_precision()     # refine_steps=3: the default
+    # The product default: refine_steps=24 is the MAXIMUM; the loop
+    # early-exits at refine_target (typically ~3 executed steps).
+    opts = Options.single_precision()
     data, _ = plant(horizon, dtype=dtype)
     N, nx, nu, nc = mpc.mpc_dims(data)
     batch = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape),
