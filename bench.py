@@ -177,12 +177,12 @@ def f64_pnr_np(data, z, l, v, alpha):
     return np.sqrt(sq(rzx) + sq(rzu) + sq(rl) + sq(rv))
 
 
-def run_refine(B=None, steps=3):
+def run_refine(B=None, steps=None):
     """python bench.py refine: the refined-vs-raw comparison mode. Since
     round 3 the DEFAULT dispatch already refines (Options.refine_steps on
     f32 solves), so this mode measures the refinement increment: raw
-    solve (refine_steps=0) vs the integrated contract-grade solve, both
-    f64-verified on the host."""
+    solve (refine_steps=0) vs the integrated contract-grade solve (the
+    shipped single_precision defaults), both f64-verified on the host."""
     import dataclasses
 
     import jax
@@ -196,8 +196,9 @@ def run_refine(B=None, steps=3):
         B = 128 if platform == "cpu" else 8192
     N, nx, nu, nc = 30, 8, 3, 6
     dtype = jnp.float32
-    opts = dataclasses.replace(Options.single_precision(),
-                               refine_steps=steps)
+    opts = Options.single_precision()
+    if steps is not None:
+        opts = dataclasses.replace(opts, refine_steps=steps)
     opts_raw = dataclasses.replace(opts, refine_steps=0)
     data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
 
@@ -224,7 +225,8 @@ def run_refine(B=None, steps=3):
                        np.asarray(x.v, np.float64), opts.alpha)
     frac = float(np.mean(res64 <= 1e-6))
     qps = B / t_ref
-    print(f"bench[refine]: platform={platform} B={B} steps={steps} "
+    print(f"bench[refine]: platform={platform} B={B} "
+          f"steps_executed={executed_refine_steps(corer)} "
           f"t_raw={t_raw:.3f}s t_refined={t_ref:.3f}s "
           f"raw med_res={np.median(raw64):.2e} "
           f"frac<=1e-6={frac:.3f} med_res={np.median(res64):.2e} "
@@ -415,10 +417,85 @@ def run_sharded(B=None):
     }))
 
 
+def run_adaptive_mixed(B=None):
+    """python bench.py adaptive mixed: the device-side two-phase adaptive
+    solve on a MIXED-DIFFICULTY batch (5% of instances get a 6x larger
+    initial state and a tighter input box — long active-set tails), the
+    workload the adaptive path exists for. Reports one-shot vs adaptive
+    throughput and the Newton-iteration tail (p50/p99/max). Runs the raw
+    f32 tier (refine/equilibrate off) so the comparison isolates the
+    lockstep-tail effect the two-phase scheme targets."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.options import Options
+    from fbstab_tpu.parallel.adaptive import (
+        solve_mpc_qp_batch_adaptive_device)
+
+    platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    if B is None:
+        B = 256 if on_cpu else 8192
+    dtype = jnp.float32
+    data, z0, l0, v0 = build_batch(B, 30, 8, 3, 6, dtype)
+    rng = np.random.default_rng(5)
+    hard = rng.random(B) < 0.05
+    x0 = np.array(data.x0)
+    x0[hard] *= 6.0
+    d = np.array(data.d)
+    d[hard] = -0.35
+    data = data._replace(x0=jnp.asarray(x0, dtype), d=jnp.asarray(d, dtype))
+    opts = dataclasses.replace(Options.single_precision(), refine_steps=0,
+                               equilibrate=False, retry_failed=False)
+    p2 = dataclasses.replace(opts, max_newton_iters=400, max_prox_iters=60)
+
+    one = _jit(lambda dd, z, l, v: solve_mpc_qp_batch(dd, z, l, v, opts))
+    ada = _jit(lambda dd, z, l, v: solve_mpc_qp_batch_adaptive_device(
+        dd, z, l, v, opts, phase1_newton_iters=25,
+        phase2_size=max(B // 8, 128), phase2_options=p2))
+
+    stats = {}
+    for name, fn in (("one_shot", one), ("adaptive", ada)):
+        x, core = fn(data, z0, l0, v0)
+        np.asarray(core.residual)
+        ts = []
+        for i in range(1, 4):
+            fresh = data._replace(x0=data.x0 * (1 + 1e-6 * i))
+            t0 = time.perf_counter()
+            x, core = fn(fresh, z0, l0, v0)
+            np.asarray(core.residual)
+            ts.append(time.perf_counter() - t0)
+        ef = np.asarray(core.eflag)
+        ni = np.asarray(core.newton_iters)
+        stats[name] = dict(
+            qps=B / min(ts), success=float((ef == 0).mean()),
+            ni_p50=float(np.percentile(ni, 50)),
+            ni_p99=float(np.percentile(ni, 99)), ni_max=int(ni.max()))
+        print(f"bench[adaptive mixed]: {name} qps={B / min(ts):.0f} "
+              f"success={stats[name]['success']:.4f} "
+              f"ni p50={stats[name]['ni_p50']:.0f} "
+              f"p99={stats[name]['ni_p99']:.0f} max={ni.max()}",
+              file=sys.stderr)
+    speed = stats["adaptive"]["qps"] / stats["one_shot"]["qps"]
+    print(json.dumps({
+        "metric": "mpc_adaptive_mixed_qps_per_chip",
+        "value": round(stats["adaptive"]["qps"], 1),
+        "unit": "QPs/s (mixed-difficulty batch)",
+        "vs_baseline": round(stats["adaptive"]["qps"] / BASELINE_QPS, 3),
+        "speedup_vs_one_shot": round(speed, 3),
+        "one_shot": stats["one_shot"],
+        "adaptive": stats["adaptive"],
+    }))
+
+
 def run_adaptive(B=None):
     """python bench.py adaptive: two-phase adaptive vs one-shot on the
     headline workload (VERDICT r1 item 4: measured uplift or a documented
-    null result)."""
+    null result). `python bench.py adaptive mixed` runs the
+    mixed-difficulty variant (run_adaptive_mixed)."""
     import jax
     import jax.numpy as jnp
 
@@ -702,15 +779,17 @@ def run_diff(B=None):
     }))
 
 
-def run_plants(B=None):
-    """python bench.py plants: the reference's four benchmark plants
-    (ocp_generator.cc:73-363) through the full f32 product path
-    (equilibration + fused/subfused kernels + double-float refinement),
-    f64-host-verified against the 1e-6 accuracy contract
-    (fbstab_algorithm-impl.h:43-44). This is the hardware pin of the
-    contract: the CPU test suite asserts looser per-plant floors because
-    the XLA:CPU compilation of the refinement loop carries a noise floor
-    the TPU compilation does not."""
+def plants_contract_check(B=None, verbose=True):
+    """The reference's four benchmark plants (ocp_generator.cc:73-363)
+    through the full f32 product path (equilibration + fused/subfused
+    kernels + double-float refinement), f64-host-verified against the
+    1e-6 accuracy contract (fbstab_algorithm-impl.h:26-31 test assertion;
+    fbstab_algorithm-impl.h:43-44 default). Returns a JSON-ready summary
+    dict; the default bench (main) embeds it so BENCH_r*.json alone
+    proves the contract on the reference's own test problems every round
+    (the CPU test suite asserts looser per-plant floors — the XLA:CPU
+    compilation of the refinement loop carries a noise floor the TPU
+    compilation does not)."""
     import jax
     import jax.numpy as jnp
 
@@ -775,27 +854,169 @@ def run_plants(B=None):
                 np.asarray(core.raw_residual)[good])) if good.any()
             else float("nan"),
         }
-        print(f"bench[plants]: {plant.__name__} nominal res64="
-              f"{float(res64[0]):.2e} success={float(good.mean()):.3f} "
-              f"perturbed max={mx:.2e} "
-              f"raw med={per_plant[plant.__name__]['raw_med']:.2e}",
-              file=sys.stderr)
-    print(json.dumps({
-        "metric": "plants_contract_res64_max",
-        "value": worst,
-        "unit": "f64-verified residual on the reference's own test "
-                "instances (target <= 1e-6)",
-        "vs_baseline": round(1e-6 / max(worst, 1e-300), 3),
+        if verbose:
+            print(f"bench[plants]: {plant.__name__} nominal res64="
+                  f"{float(res64[0]):.2e} success={float(good.mean()):.3f} "
+                  f"perturbed max={mx:.2e} "
+                  f"raw med={per_plant[plant.__name__]['raw_med']:.2e}",
+                  file=sys.stderr)
+    return {
+        "res64_max": worst,
         "contract_met": all_ok,
         "per_plant": per_plant,
+    }
+
+
+def run_plants(B=None):
+    """python bench.py plants: the standalone per-plant contract check
+    (see plants_contract_check)."""
+    summary = plants_contract_check(B)
+    print(json.dumps({
+        "metric": "plants_contract_res64_max",
+        "value": summary["res64_max"],
+        "unit": "f64-verified residual on the reference's own test "
+                "instances (target <= 1e-6)",
+        "vs_baseline": round(1e-6 / max(summary["res64_max"], 1e-300), 3),
+        "contract_met": summary["contract_met"],
+        "per_plant": summary["per_plant"],
+    }))
+
+
+def run_mxu(T=None):
+    """python bench.py mxu: the MXU question, measured (round-4 item 1).
+
+    Can lax.dot_general / the MXU beat the VPU column-unrolled stage
+    matvec on the largest reference stage blocks (copoly class: nx=18,
+    N=80, 128-lane tiles)? Three in-kernel forms, same arithmetic:
+
+      vpu_perlane — the shipped _stage_matvec on per-lane (N1,n,n,B)
+        matrices (the general case: the Riccati factorization blocks are
+        per-lane even for shared plants, because the PFB weights are);
+      vpu_shared  — the same unrolled form with one shared (N1,n,n) M;
+      mxu_shared  — per-stage jnp.dot on the shared M (static unroll),
+        the ONLY MXU-expressible encoding: the per-lane case would need
+        block-diagonal replication at 18/2304 * 18 useful columns = 2%
+        MXU utilization and is not expressible in Mosaic without
+        materializing a 2.6 MB operand per stage.
+
+    Measured on v5e (2026-08-20): vpu_perlane 1919.8 ns/stage-matvec,
+    vpu_shared 1528.8 ns, mxu_shared 1571.4 ns — the MXU form is 0.97x
+    the shared-VPU form and the general case cannot use it at all. The
+    VPU-unrolled kernels stand (documented null result; see
+    docs/ARCHITECTURE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fbstab_tpu.utils.compile import VMEM_LIMIT_KIB, tpu_compiler_options
+
+    platform = jax.devices()[0].platform
+    interp = platform == "cpu"
+    N1, n, B = (81, 18, 128) if not interp else (9, 18, 128)
+    if T is None:
+        T = 200 if not interp else 2
+    SCALE = 0.9 / n
+
+    def vpu_perlane_kernel(M_ref, w_ref, out_ref):
+        def body(t, w):
+            ws = w.reshape(N1, n, B)
+            acc = M_ref[:, :, 0] * ws[:, 0][:, None]
+            for j in range(1, n):
+                acc = acc + M_ref[:, :, j] * ws[:, j][:, None]
+            return (acc * SCALE).reshape(N1 * n, B)
+
+        out_ref[:] = lax.fori_loop(0, T, body, w_ref[:])
+
+    def vpu_shared_kernel(M_ref, w_ref, out_ref):
+        def body(t, w):
+            ws = w.reshape(N1, n, B)
+            acc = M_ref[:, :, 0][:, :, None] * ws[:, 0][:, None]
+            for j in range(1, n):
+                acc = acc + M_ref[:, :, j][:, :, None] * ws[:, j][:, None]
+            return (acc * SCALE).reshape(N1 * n, B)
+
+        out_ref[:] = lax.fori_loop(0, T, body, w_ref[:])
+
+    def mxu_shared_kernel(M_ref, w_ref, out_ref, scr):
+        def body(t, _):
+            w = scr[:]
+            outs = []
+            for s in range(N1):
+                outs.append(jnp.dot(M_ref[s], w[s * n:(s + 1) * n, :],
+                                    preferred_element_type=jnp.float32))
+            scr[:] = jnp.concatenate(outs, axis=0) * SCALE
+            return 0
+
+        scr[:] = w_ref[:]
+        lax.fori_loop(0, T, body, 0)
+        out_ref[:] = scr[:]
+
+    def run(kernel, M, w, scratch=False):
+        kw = dict(
+            out_shape=jax.ShapeDtypeStruct((N1 * n, B), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT_KIB * 1024),
+            interpret=interp,
+        )
+        if scratch:
+            kw["scratch_shapes"] = [pltpu.VMEM((N1 * n, B), jnp.float32)]
+        fn = jax.jit(lambda M_, w_: pl.pallas_call(kernel, **kw)(M_, w_),
+                     compiler_options=tpu_compiler_options())
+        out = fn(M, w)
+        np.asarray(out)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = fn(M, w)
+            np.asarray(out[:1, :1])
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / (T * N1), np.asarray(out)
+
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp  # noqa: F811
+    Mp = jnp.asarray(rng.standard_normal((N1, n, n, B)), jnp.float32)
+    Ms = jnp.asarray(rng.standard_normal((N1, n, n)), jnp.float32)
+    w0 = jnp.asarray(rng.standard_normal((N1 * n, B)), jnp.float32)
+
+    t_pl, _ = run(vpu_perlane_kernel, Mp, w0)
+    t_vs, o_v = run(vpu_shared_kernel, Ms, w0)
+    t_ms, o_m = run(mxu_shared_kernel, Ms, w0, scratch=True)
+    err = float(np.max(np.abs(o_v - o_m))
+                / (np.max(np.abs(o_v)) + 1e-30))
+    print(f"bench[mxu]: per stage-matvec vpu_perlane={t_pl * 1e9:.1f}ns "
+          f"vpu_shared={t_vs * 1e9:.1f}ns mxu_shared={t_ms * 1e9:.1f}ns "
+          f"parity rel err={err:.2e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "mxu_vs_vpu_shared_stage_matvec",
+        "value": round(t_vs / t_ms, 4),
+        "unit": "x MXU speedup over the shared-VPU form "
+                "(<1 = documented null result; per-lane case is "
+                "MXU-inexpressible)",
+        "vs_baseline": round(t_vs / t_ms, 4),
+        "vpu_perlane_ns": round(t_pl * 1e9, 1),
+        "vpu_shared_ns": round(t_vs * 1e9, 1),
+        "mxu_shared_ns": round(t_ms * 1e9, 1),
     }))
 
 
 def executed_refine_steps(core) -> int:
-    """EXECUTED refinement iterations from a solve's CoreOut/SolverOut —
-    the value the perf model must be fed (never Options.refine_steps,
-    which is only the early-exit loop's maximum)."""
+    """Worst-lane EXECUTED refinement iterations from a solve's
+    CoreOut/SolverOut (never Options.refine_steps, which is only the
+    early-exit loop's maximum). Since the round-4 chunked refine loop,
+    lanes carry their own chunk's executed count — this reports the max;
+    feed the perf model `mean_refine_steps` (chunks run independently,
+    so the batch-wide cost follows the mean, not the worst chunk)."""
     return int(np.max(np.asarray(core.refine_steps)))
+
+
+def mean_refine_steps(core) -> float:
+    """Mean per-lane executed refinement iterations — the perf model's
+    refine-term weight under the chunked early-exit loop."""
+    return float(np.mean(np.asarray(core.refine_steps)))
 
 
 def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
@@ -806,10 +1027,11 @@ def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
     measured (newton_iters, t_solve) that ride the bench JSON.
 
     `refine_steps` must be the EXECUTED early-exit loop count
-    (CoreOut.refine_steps) — NOT Options.refine_steps, which is only the
-    maximum (24 by default, typically ~3 executed): feeding the maximum
-    overstates the refine term ~8x and made the round-3 model report an
-    impossible 185% of its own issue bound.
+    (CoreOut.refine_steps; the per-lane MEAN under the round-4 chunked
+    loop, `mean_refine_steps`) — NOT Options.refine_steps, which is only
+    the maximum (24 by default, typically ~2 executed): feeding the
+    maximum overstates the refine term ~8x and made the round-3 model
+    report an impossible 185% of its own issue bound.
 
     Model: per Newton iteration the solver does one Riccati
     factorization + one back-solve + ~2.5 residual evaluations (one KKT,
@@ -863,7 +1085,7 @@ def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
         "flops_per_solve_mean": int(flops_solve_mean),
         "sustained_gflops": round(sustained / 1e9, 2),
         "newton_iters_mean": round(float(ni.mean()), 2),
-        "executed_refine_steps": int(refine_steps),
+        "executed_refine_steps": round(float(refine_steps), 2),
         "lockstep_tile_iters": lockstep_iters,
         "vpu_op_ns": 12.0,
         "issue_bound_s": round(t_issue_bound, 4),
@@ -942,7 +1164,7 @@ def main():
 
     # Contract verification (outside the timed window): the returned
     # solution is a double-float pair (the f32 product default refines
-    # until the 1e-6 target, refine_steps=24 max / ~3 executed);
+    # until the 1e-6 target, refine_steps=24 max / ~2 executed);
     # recompute its penalized natural residual entirely in host float64.
     if hasattr(x, "to_float64"):
         sol = x.to_float64()
@@ -953,7 +1175,18 @@ def main():
                            np.asarray(x.v, np.float64), opts.alpha)
     frac_1e6 = float(np.mean(res64 <= 1e-6))
     pm = mpc_perf_model(B, N, nx, nu, nc, core.newton_iters, min(times),
-                        executed_refine_steps(core))
+                        mean_refine_steps(core))
+    pm["max_refine_steps"] = executed_refine_steps(core)
+
+    # Per-plant contract audit (round-4 item 4): the headline JSON alone
+    # must prove the 1e-6 contract on the reference's own test problems
+    # (fbstab_mpc_unit_tests.cc:26-31), not just the synthetic workload.
+    try:
+        plants = plants_contract_check()
+    except Exception as e:  # noqa: BLE001 — keep the headline if a
+        # plant-tier compile hiccups (tunnel); absence is visible in the
+        # JSON as an error string rather than a silent pass.
+        plants = {"error": f"{type(e).__name__}: {e}"}
 
     print(f"bench: platform={platform} B={B} N={N} nx={nx} nu={nu} nc={nc} "
           f"success={success:.3f} times={['%.3f' % t for t in times]} "
@@ -968,6 +1201,7 @@ def main():
         "residual_f64_max": float(res64.max()),
         "residual_f64_frac_le_1e6": frac_1e6,
         "perf_model": pm,
+        "plants": plants,
     }))
 
 
@@ -979,6 +1213,7 @@ if __name__ == "__main__":
         "sharded": run_sharded, "copoly": run_copoly,
         "longhorizon": run_longhorizon, "million": run_million,
         "sparse": run_sparse, "diff": run_diff, "plants": run_plants,
+        "mxu": run_mxu,
     }
     if len(sys.argv) > 1:
         mode = _MODES.get(sys.argv[1])
@@ -986,9 +1221,14 @@ if __name__ == "__main__":
             print(f"bench.py: unknown mode {sys.argv[1]!r}; valid modes: "
                   + ", ".join(sorted(_MODES)), file=sys.stderr)
             sys.exit(2)
-        # Optional batch-size override, e.g. `bench.py dense 32768`
-        # (`longhorizon` interprets it as the horizon N).
-        if len(sys.argv) > 2:
+        # Optional overrides: `bench.py dense 32768` (batch size;
+        # `longhorizon` reads it as the horizon N), `bench.py adaptive
+        # mixed` (the mixed-difficulty two-phase workload).
+        if len(sys.argv) > 2 and sys.argv[1] == "adaptive" \
+                and sys.argv[2] == "mixed":
+            run_adaptive_mixed(int(sys.argv[3]) if len(sys.argv) > 3
+                               else None)
+        elif len(sys.argv) > 2:
             mode(int(sys.argv[2]))
         else:
             mode()

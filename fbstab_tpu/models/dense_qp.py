@@ -250,37 +250,49 @@ def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
     is a VariableDF double-float pair when refinement engages)."""
     opts = options.validated()
 
-    def raw(d, z, l, v):
-        if _fused_dense_eligible(d, z.dtype):
-            from fbstab_tpu.ops.dense_solve_pallas import (
-                fbstab_dense_solve_fused)
-            return fbstab_dense_solve_fused(
-                d, z, l, v, opts,
-                interpret=(PALLAS_MODE == "interpret"))
-        return jax.vmap(
-            lambda d1, z1, l1, v1: fbstab_solve(DENSE_OPS, d1, z1, l1,
-                                                v1, opts)
-        )(d, z, l, v)
+    def raw_with(o):
+        def raw(d, z, l, v):
+            if _fused_dense_eligible(d, z.dtype):
+                from fbstab_tpu.ops.dense_solve_pallas import (
+                    fbstab_dense_solve_fused)
+                return fbstab_dense_solve_fused(
+                    d, z, l, v, o,
+                    interpret=(PALLAS_MODE == "interpret"))
+            return jax.vmap(
+                lambda d1, z1, l1, v1: fbstab_solve(DENSE_OPS, d1, z1, l1,
+                                                    v1, o)
+            )(d, z, l, v)
+        return raw
 
+    from fbstab_tpu.models.refine import refine_engaged
     from fbstab_tpu.models.scaling import (
         ruiz_dense_scaling, scaling_engaged, solve_scaled_dense)
     # Compute the Ruiz scaling ONCE and share it across the solve, the
     # failure-retry pass, and the refinement loop.
     scal = (jax.vmap(ruiz_dense_scaling)(data)
             if scaling_engaged(opts, z0.dtype) else None)
-    x, core = solve_scaled_dense(raw, data, z0, l0, v0, opts, scal=scal)
+    # Refinement re-reports residual/raw_residual in df-verified
+    # original units at every lane (skip the f32 re-evaluation).
+    will_refine = refine_engaged(opts, z0.dtype)
+    x, core = solve_scaled_dense(raw_with(opts), data, z0, l0, v0, opts,
+                                 scal=scal,
+                                 skip_residual_rewrite=will_refine)
     if opts.retry_failed and z0.dtype == jnp.float32:
         from fbstab_tpu.models.scaling import (
             merge_failed_retry, retry_options)
         from fbstab_tpu.solver_out import ExitFlag
+        # The retry profile must reach the SOLVER, not just the scaling
+        # wrapper (fixed round 4: the retry pass previously re-ran the
+        # identical options and could only succeed by luck of the
+        # warmstart).
         ropts = retry_options(opts)
         m = (core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED))[:, None]
         x2, core2 = solve_scaled_dense(
-            raw, data, jnp.where(m, z0, x.z), jnp.where(m, l0, x.l),
-            jnp.where(m, v0, x.v), ropts, scal=scal)
+            raw_with(ropts), data, jnp.where(m, z0, x.z),
+            jnp.where(m, l0, x.l), jnp.where(m, v0, x.v), ropts,
+            scal=scal, skip_residual_rewrite=will_refine)
         x, core = merge_failed_retry(x, core, x2, core2)
-    from fbstab_tpu.models.refine import refine_engaged
-    if refine_engaged(opts, z0.dtype):
+    if will_refine:
         from fbstab_tpu.models.refine import refine_solution_dense
         return refine_solution_dense(data, x, core, opts, scal=scal)
     return x, core
@@ -357,9 +369,11 @@ class FBstabDense:
                     lambda d1, z1, l1, v1: fbstab_solve(
                         DENSE_OPS, d1, z1, l1, v1, opts, stream=stream)
                 )(dd, zz, ll, vv)
+                will_refine = refine_engaged(opts, z.dtype)
                 xb, coreb = solve_scaled_dense(
-                    raw, bat(d), z[None], l[None], v[None], opts)
-                if refine_engaged(opts, z.dtype):
+                    raw, bat(d), z[None], l[None], v[None], opts,
+                    skip_residual_rewrite=will_refine)
+                if will_refine:
                     xb, coreb = refine_solution_dense(bat(d), xb, coreb,
                                                       opts)
                 return unbat(xb), unbat(coreb)

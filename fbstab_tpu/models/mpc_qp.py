@@ -981,6 +981,7 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
     given, the Ruiz scaling is computed ONCE here and shared by the
     solve, the failure-retry pass, and the refinement loop."""
     opts = options.validated()
+    from fbstab_tpu.models.refine import refine_engaged
     from fbstab_tpu.models.scaling import (
         ruiz_mpc_scaling, scaling_engaged, solve_scaled_mpc)
 
@@ -991,10 +992,16 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
                 if isinstance(data, MpcQPDataT) else data)
         scal = jax.vmap(ruiz_mpc_scaling)(base)
 
+    # Refinement re-reports residual/raw_residual in df-verified
+    # original units at every lane, so the scaled solve's own f32
+    # re-evaluation would be dead work (skip_residual_rewrite).
+    will_refine = refine_engaged(opts, z0.dtype)
+
     def scaled_solve(o, d, z, l, v):
         return solve_scaled_mpc(
             lambda dd, zz, ll, vv: _solve_mpc_qp_batch_raw(
-                dd, zz, ll, vv, o, riccati), d, z, l, v, o, scal=scal)
+                dd, zz, ll, vv, o, riccati), d, z, l, v, o, scal=scal,
+            skip_residual_rewrite=will_refine)
 
     x, core = scaled_solve(opts, data, z0, l0, v0)
     if opts.retry_failed and z0.dtype == jnp.float32:
@@ -1095,9 +1102,11 @@ class FBstabMpc:
                     lambda d1, z1, l1, v1: fbstab_solve(
                         MPC_OPS, d1, z1, l1, v1, opts, stream=stream)
                 )(dd, zz, ll, vv)
+                will_refine = refine_engaged(opts, z.dtype)
                 xb, coreb = solve_scaled_mpc(
-                    raw, bat(d), z[None], l[None], v[None], opts)
-                if refine_engaged(opts, z.dtype):
+                    raw, bat(d), z[None], l[None], v[None], opts,
+                    skip_residual_rewrite=will_refine)
+                if will_refine:
                     xb, coreb = refine_solution_mpc(bat(d), xb, coreb,
                                                     opts)
                 return unbat(xb), unbat(coreb)

@@ -314,7 +314,7 @@ def _refine_dense_loop(data, x: Variable, options: Options, good,
     B = x.z.shape[0]
     dtype = x.z.dtype
     alpha = opts.alpha
-    sigma = jnp.asarray(opts.sigma0, dtype)
+    sigma = jnp.asarray(opts.refine_sigma or opts.sigma0, dtype)
     target = jnp.asarray(opts.refine_target, dtype)
 
     z0, l0, v0 = df(x.z), df(x.l), df(x.v)
@@ -340,16 +340,17 @@ def _refine_dense_loop(data, x: Variable, options: Options, good,
         return jnp.sqrt(sq(rz) + sq(rl) + sq(rv))
 
     def norms(z, l, v, y, rz, rl):
-        res_loop = _pnr(z, l, v, y, rz, rl)
+        """ORIGINAL-units penalized natural residual norm from the
+        loop-coordinate df blocks (exact pow2 row unscalings; the
+        nonlinear pfb row re-evaluated at the unscaled (y, v))."""
         if scal is None:
-            return res_loop, res_loop
+            return _pnr(z, l, v, y, rz, rl)
         from fbstab_tpu.models.scaling import _df_scale
-        res_orig = _pnr(z, l, _df_scale(v, fac_v), _df_scale(y, fac_y),
-                        _df_scale(rz, fac_rz), _df_scale(rl, fac_rl))
-        return res_orig, res_loop
+        return _pnr(z, l, _df_scale(v, fac_v), _df_scale(y, fac_y),
+                    _df_scale(rz, fac_rz), _df_scale(rl, fac_rl))
 
     blocks0 = _dense_kkt_residual_df(data, z0, l0, v0, y0, alpha)
-    res0, _ = norms(z0, l0, v0, y0, *blocks0[:2])
+    res0 = norms(z0, l0, v0, y0, *blocks0[:2])
 
     def newton(zh, lh, vh, yh, rz, rl, rv, sig):
         def one(d, zz, ll, vv, yy, rz_, rl_, rv_, sg):
@@ -374,7 +375,7 @@ def _refine_dense_loop(data, x: Variable, options: Options, good,
         v_p = df_max0(df_add(v, df(tm * dv)))
         y_p = margin(z_p)
         blocks_p = _dense_kkt_residual_df(data, z_p, l_p, v_p, y_p, alpha)
-        res_p, _ = norms(z_p, l_p, v_p, y_p, *blocks_p[:2])
+        res_p = norms(z_p, l_p, v_p, y_p, *blocks_p[:2])
         better = live & ok & jnp.isfinite(res_p) & (res_p < res_best)
         pick = lambda pn, po: jax.tree.map(
             lambda a, b: jnp.where(
@@ -410,7 +411,7 @@ def _refine_dense_loop(data, x: Variable, options: Options, good,
 # The product loop differs from refine_mpc_batch above in three ways:
 #  * it runs as a lax.while_loop with early exit once every converged
 #    lane's ORIGINAL-UNITS double-float residual is under
-#    Options.refine_target (well-scaled batches stop after ~3 steps;
+#    Options.refine_target (well-scaled batches stop after ~2 steps;
 #    badly-scaled ones get the full budget);
 #  * with Options.equilibrate, the ENTIRE loop (double-float residuals
 #    + f32 correction solves) runs on the Ruiz-equilibrated problem
@@ -486,7 +487,7 @@ def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
     B = x.z.shape[0]
     dtype = x.z.dtype
     alpha = opts.alpha
-    sigma = jnp.asarray(opts.sigma0, dtype)
+    sigma = jnp.asarray(opts.refine_sigma or opts.sigma0, dtype)
     target = jnp.asarray(opts.refine_target, dtype)
 
     zs = x.z.reshape(B, N1, nx + nu)
@@ -520,23 +521,20 @@ def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
         return jnp.sqrt(sq(rzx) + sq(rzu) + sq(rl) + sq(rv))
 
     def norms(zx, zu, l, v, y, rzx, rzu, rl):
-        """(original-units, loop-units) penalized natural residual norms
-        from the loop-coordinate df blocks (full_residual.cc:99-109).
-        The rz/rl rows unscale diagonally (exact pow2); the nonlinear rv
-        row is re-evaluated at the exactly-unscaled (y, v). The loop-
-        units norm drives the sigma adaptation."""
-        res_loop = _pnr(zx, zu, l, v, y, rzx, rzu, rl)
+        """ORIGINAL-units penalized natural residual norm from the
+        loop-coordinate df blocks (full_residual.cc:99-109). The rz/rl
+        rows unscale diagonally (exact pow2); the nonlinear rv row is
+        re-evaluated at the exactly-unscaled (y, v)."""
         if scal is None:
-            return res_loop, res_loop
+            return _pnr(zx, zu, l, v, y, rzx, rzu, rl)
         from fbstab_tpu.models.scaling import _df_scale
-        res_orig = _pnr(
+        return _pnr(
             zx, zu, l, _df_scale(v, fac_v), _df_scale(y, fac_y),
             _df_scale(rzx, fac_rzx), _df_scale(rzu, fac_rzu),
             _df_scale(rl, fac_rl))
-        return res_orig, res_loop
 
     blocks0 = _mpc_kkt_residual_df(data, zx0, zu0, l0, v0, y0, alpha)
-    res0, res_loop0 = norms(zx0, zu0, l0, v0, y0, *blocks0[:3])
+    res0 = norms(zx0, zu0, l0, v0, y0, *blocks0[:3])
 
     data_t = (_mpc.with_transposed(data)
               if not isinstance(data, _mpc.MpcQPDataT) else data)
@@ -574,7 +572,7 @@ def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
         y_p = margin(zx_p, zu_p)
         blocks_p = _mpc_kkt_residual_df(data, zx_p, zu_p, l_p, v_p, y_p,
                                         alpha)
-        res_p, _ = norms(zx_p, zu_p, l_p, v_p, y_p, *blocks_p[:3])
+        res_p = norms(zx_p, zu_p, l_p, v_p, y_p, *blocks_p[:3])
         better = live & ok & jnp.isfinite(res_p) & (res_p < res_best)
         pick = lambda pn, po: jax.tree.map(
             lambda a, b: jnp.where(
@@ -623,24 +621,60 @@ def _splice_df(refined: VariableDF, x: Variable, good) -> VariableDF:
                       v=pick(refined.v, x.v), y=pick(refined.y, x.y))
 
 
+# Refinement runs its early-exit while_loop over fixed-size batch chunks
+# (lax.map): the exit is per-chunk rather than batch-global, so one
+# limit-cycling lane only keeps its OWN chunk stepping. Measured on v5e
+# (B-sweep, round 4): with a batch-global exit the executed step count
+# grows with batch size as the tail worsens (2 steps at B=8192, 6 at
+# 16384, 11 at 32768 — throughput REGRESSING from 19.5k to 13.3k QPs/s);
+# chunking bounds the damage to one chunk's share of the batch. 2048
+# lanes = 16 kernel tiles per chunk step keeps the VPU saturated.
+REFINE_CHUNK = 2048
+
+
+def _chunked_refine(loop_fn, B, args):
+    """Maps `loop_fn` (one of the _refine_*_loop functions, already
+    closed over options/scal-handling) over REFINE_CHUNK-sized chunks of
+    the batch. args: pytrees with leading batch axis B. Returns the
+    loop outputs with per-lane (B,) step counts. Falls back to one
+    global call when the batch does not split evenly."""
+    ck = REFINE_CHUNK
+    if B <= ck or B % ck != 0:
+        refined, res0, res, steps = loop_fn(args)
+        return refined, res0, res, jnp.full((B,), steps, jnp.int32)
+    C = B // ck
+    resh = lambda t: jax.tree.map(
+        lambda a: a.reshape((C, ck) + a.shape[1:]), t)
+    refined, res0, res, steps = jax.lax.map(loop_fn, resh(args))
+    flat = lambda t: jax.tree.map(
+        lambda a: a.reshape((B,) + a.shape[2:]), t)
+    return (flat(refined), res0.reshape(B), res.reshape(B),
+            jnp.repeat(steps, ck, total_repeat_length=B))
+
+
 def _finish_refine(refined, x, core, good, res0, res, steps):
     """Splice + report: refined point on lanes that are good AND actually
     improved; the raw point (lo = 0) elsewhere. `residual` becomes the
     double-float-verified original-units value at the RETURNED point;
-    `raw_residual` keeps the pre-refinement (df-verified) value for good
-    lanes and the solver's own value otherwise. `steps` is the EXECUTED
-    early-exit loop count (observability + the bench perf model, which
-    must never be fed Options.refine_steps — that is only the maximum)."""
+    `raw_residual` the pre-refinement df-verified value — for EVERY lane
+    (res0 is evaluated at the returned point of non-SUCCESS lanes too,
+    which for an infeasibility certificate is as meaningful as any PNR
+    and lets the dispatchers skip the f32 original-units re-evaluation
+    entirely, solve_scaled_* skip_residual_rewrite). `steps` is the
+    EXECUTED early-exit loop count (observability + the bench perf
+    model, which must never be fed Options.refine_steps — that is only
+    the maximum)."""
     use = good & (res <= res0)
     sol = _splice_df(refined, x, use)
     rdt = core.residual.dtype
-    reported = jnp.where(use, res.astype(rdt),
-                         jnp.where(good, res0.astype(rdt), core.residual))
-    raw = jnp.where(good, res0.astype(rdt), core.residual)
-    # Broadcast the loop's step count per lane: every batch consumer
-    # (sharded out_specs, adaptive scatter, ragged trim) then treats it
-    # like the other lane fields.
-    steps_b = jnp.full(core.eflag.shape, steps, jnp.int32)
+    reported = jnp.where(use, res.astype(rdt), res0.astype(rdt))
+    raw = res0.astype(rdt)
+    # Per-lane (B,) step counts: every batch consumer (sharded
+    # out_specs, adaptive scatter, ragged trim) treats it like the other
+    # lane fields. With the chunked loop, lanes report their own chunk's
+    # executed count.
+    steps_b = jnp.broadcast_to(jnp.asarray(steps, jnp.int32),
+                               core.eflag.shape)
     return sol, core._replace(residual=reported, raw_residual=raw,
                               refine_steps=steps_b)
 
@@ -658,6 +692,7 @@ def refine_solution_mpc(data, x: Variable, core, options: Options,
     base = (MpcQPData(**{f: getattr(data, f) for f in MpcQPData._fields})
             if isinstance(data, _mpc.MpcQPDataT) else data)
     good = core.eflag == int(ExitFlag.SUCCESS)
+    B = x.z.shape[0]
     if opts.equilibrate:
         from fbstab_tpu.models.scaling import (
             apply_mpc_scaling, ruiz_mpc_scaling, scale_mpc_variable,
@@ -666,14 +701,22 @@ def refine_solution_mpc(data, x: Variable, core, options: Options,
             scal = jax.vmap(ruiz_mpc_scaling)(base)
         sdata = jax.vmap(apply_mpc_scaling)(base, scal)
         xs = scale_mpc_variable(x, scal)        # exact (pow2 diagonals)
-        refined_s, _, _, steps = _refine_mpc_loop(sdata, xs, opts, good,
-                                                  scal)
+        refined_s, res0, res, steps = _chunked_refine(
+            lambda a: _refine_mpc_loop(a[0], a[1], opts, a[2], a[3]),
+            B, (sdata, xs, good, scal))
         refined = unscale_mpc_variable_df(refined_s, scal)
     else:
-        refined, _, _, steps = _refine_mpc_loop(base, x, opts, good)
-    # Fresh, loop-independent evaluations of both points for the report
-    # and the better-than-raw decision (see _pnr_df_at_mpc).
-    res0 = _pnr_df_at_mpc(base, x, opts.alpha)
+        refined, res0, res, steps = _chunked_refine(
+            lambda a: _refine_mpc_loop(a[0], a[1], opts, a[2]),
+            B, (base, x, good))
+    # res0 comes from the loop's ENTRY evaluation — outside the while
+    # body, where df arithmetic compiles exactly (measured: XLA:CPU
+    # breaks the error-free transforms only INSIDE while bodies — the
+    # in-body norm underreports ~3x at the servo stall level, and the
+    # monotone best-picker then selects noise-flattered values). The
+    # REPORTED refined residual therefore stays a fresh loop-independent
+    # evaluation at the returned point; only the duplicate res0 pass and
+    # the f32 rewrite were dead work.
     res = _pnr_df_at_mpc(base, refined, opts.alpha)
     return _finish_refine(refined, x, core, good, res0, res, steps)
 
@@ -683,6 +726,7 @@ def refine_solution_dense(data, x: Variable, core, options: Options,
     """Dense-QP analog of refine_solution_mpc."""
     opts = options.validated()
     good = core.eflag == int(ExitFlag.SUCCESS)
+    B = x.z.shape[0]
     if opts.equilibrate:
         from fbstab_tpu.models.scaling import (
             apply_dense_scaling, ruiz_dense_scaling, scale_dense_variable,
@@ -691,12 +735,17 @@ def refine_solution_dense(data, x: Variable, core, options: Options,
             scal = jax.vmap(ruiz_dense_scaling)(data)
         sdata = jax.vmap(apply_dense_scaling)(data, scal)
         xs = scale_dense_variable(x, scal)
-        refined_s, _, _, steps = _refine_dense_loop(sdata, xs, opts, good,
-                                                    scal)
+        refined_s, res0, res, steps = _chunked_refine(
+            lambda a: _refine_dense_loop(a[0], a[1], opts, a[2], a[3]),
+            B, (sdata, xs, good, scal))
         refined = unscale_dense_variable_df(refined_s, scal)
     else:
-        refined, _, _, steps = _refine_dense_loop(data, x, opts, good)
-    res0 = _pnr_df_at_dense(data, x, opts.alpha)
+        refined, res0, res, steps = _chunked_refine(
+            lambda a: _refine_dense_loop(a[0], a[1], opts, a[2]),
+            B, (data, x, good))
+    # res0 reused from the loop's entry evaluation; the reported value
+    # stays a fresh loop-independent evaluation (see
+    # refine_solution_mpc on while-body df drift).
     res = _pnr_df_at_dense(data, refined, opts.alpha)
     return _finish_refine(refined, x, core, good, res0, res, steps)
 

@@ -41,7 +41,13 @@ from jax import lax
 from fbstab_tpu.core.variable import Variable
 from fbstab_tpu.models.mpc_qp import MpcQPData, mpc_dims
 
-RUIZ_ITERS = 12
+# Measured on the reference's badly scaled plants (servo/spacecraft, CPU
+# f32 product path): the contract floor is flat from 12 down to 6
+# iterations (spacecraft actually improves at 8: 2.0e-4 -> 5.2e-5), so 8
+# buys back ~half the equilibration cost with margin. The diagonals are
+# rounded to powers of two afterwards, which forgives late-iteration
+# drift by construction.
+RUIZ_ITERS = 8
 
 
 class MpcScaling(NamedTuple):
@@ -318,7 +324,8 @@ def scaling_engaged(options, dtype) -> bool:
     return bool(options.equilibrate) and dtype == jnp.float32
 
 
-def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options, scal=None):
+def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options, scal=None,
+                     skip_residual_rewrite=False):
     """Batched MPC solve through the equilibrated problem.
 
     raw_solve(data, z0, l0, v0) -> (Variable, CoreOut) on whatever data
@@ -334,6 +341,14 @@ def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options, scal=None):
     vmap(ruiz_mpc_scaling)) — skips the Ruiz iteration. Callers that
     solve/retry/refine the same problem, or a receding-horizon driver
     whose plant data is fixed across steps, compute it once.
+
+    skip_residual_rewrite: callers that immediately refine (the f32
+    product default) overwrite residual/raw_residual with double-float-
+    verified original-units values at every lane (_finish_refine uses
+    res0 at the returned point for non-refined lanes too), so the f32
+    re-evaluation here would be dead work — skip it. Never set it
+    without a downstream rewrite: the solver-internal values are in
+    SCALED units.
     """
     from fbstab_tpu.models.mpc_qp import MPC_OPS, MpcQPData, MpcQPDataT
 
@@ -349,11 +364,14 @@ def solve_scaled_mpc(raw_solve, data, z0, l0, v0, options, scal=None):
         Variable(z=z0, l=l0, v=v0, y=jnp.zeros_like(v0)), scal)
     x, core = raw_solve(sdata, g.z, g.l, g.v)
     x = unscale_mpc_variable(x, scal)
+    if skip_residual_rewrite:
+        return x, core
     res = _pnr_batch(MPC_OPS, base, x, opts.alpha)
     return x, core._replace(residual=res, raw_residual=res)
 
 
-def solve_scaled_dense(raw_solve, data, z0, l0, v0, options, scal=None):
+def solve_scaled_dense(raw_solve, data, z0, l0, v0, options, scal=None,
+                       skip_residual_rewrite=False):
     """Dense analog of solve_scaled_mpc."""
     from fbstab_tpu.models.dense_qp import DENSE_OPS
 
@@ -367,6 +385,8 @@ def solve_scaled_dense(raw_solve, data, z0, l0, v0, options, scal=None):
         Variable(z=z0, l=l0, v=v0, y=jnp.zeros_like(v0)), scal)
     x, core = raw_solve(sdata, g.z, g.l, g.v)
     x = unscale_dense_variable(x, scal)
+    if skip_residual_rewrite:
+        return x, core
     res = _pnr_batch(DENSE_OPS, data, x, opts.alpha)
     return x, core._replace(residual=res, raw_residual=res)
 

@@ -97,6 +97,15 @@ class Options:
     # accuracy contract (abs_tol 1e-6, fbstab_algorithm-impl.h:43-44).
     refine_target: float = 1e-6
 
+    # Proximal sigma for the refinement correction solves; 0.0 means
+    # "use sigma0". The refinement's linear contraction rate scales with
+    # sigma (the corrections are proximally regularized Newton steps),
+    # so a smaller value converges in fewer steps; it can be far smaller
+    # than the solver's sigma0 because each correction starts from a
+    # near-KKT point (and a failed factorization retries at 8x sigma
+    # automatically, so an aggressive choice is self-correcting).
+    refine_sigma: float = 0.0
+
     # Re-solve lanes that exit LINEAR_SOLVER_FAILED with a 4x larger
     # proximal sigma (warmstarted from their last iterate) — the
     # regularize-and-retry pass the reference leaves as a TODO
@@ -143,6 +152,8 @@ class Options:
             inner_stall_tol=_saturate(self.inner_stall_tol, 0.0, 0.5),
             refine_steps=int(_saturate(self.refine_steps, 0, 48)),
             refine_target=max(self.refine_target, 1e-14),
+            refine_sigma=(0.0 if self.refine_sigma == 0.0
+                          else _saturate(self.refine_sigma, 1e-8, 1e-1)),
         )
 
     @staticmethod
@@ -167,13 +178,19 @@ class Options:
         burning the Newton budget (stall exits are SUCCESS in the
         reference too, fbstab_algorithm-impl.h:162-169).
 
-        refine_steps = 12 with refine_target 1e-6: the batch dispatchers
-        polish converged f32 solutions with mixed-precision iterative
-        refinement (early exit at the target — well-scaled batches stop
-        after ~3 steps) so the returned double-float solution meets the
-        reference's default 1e-6 accuracy contract — the product default
-        on TPU, not an opt-in (measured <= 4.5e-7 max over the 8192-QP
-        bench batch, f64-host-verified).
+        refine_steps = 24 (maximum) with refine_target 1e-6: the batch
+        dispatchers polish converged f32 solutions with mixed-precision
+        iterative refinement (early exit at the target — well-scaled
+        batches stop after ~2 executed steps) so the returned
+        double-float solution meets the reference's default 1e-6
+        accuracy contract — the product default on TPU, not an opt-in.
+        refine_sigma = 3e-5: the corrections' proximal regularization is
+        10x smaller than the solver's sigma0 (they start from a near-KKT
+        point, so the factorization tolerates it, and failures
+        auto-escalate 8x) — measured on v5e this contracts ~30x/step vs
+        ~8x at sigma0, turning 3 executed steps into 2 AND improving the
+        f64-verified max residual 5x (4.5e-7 -> 8.9e-8 over the 8192-QP
+        bench batch).
 
         equilibrate = True: Ruiz-scale the problem before the f32 solve
         and precondition the refinement corrections with it — required
@@ -193,6 +210,7 @@ class Options:
             inner_tol_min=1e-7,
             inner_stall_tol=1e-3,
             refine_steps=24,
+            refine_sigma=3e-5,
             equilibrate=True,
             retry_failed=True,
         )

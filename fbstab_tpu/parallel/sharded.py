@@ -115,16 +115,26 @@ def _make_sharded_solver(ops, mesh: Mesh, options: Options,
                 in_axes=axes,
             )(d, z, l, v)
 
-        from fbstab_tpu.models.scaling import (
-            solve_scaled_dense, solve_scaled_mpc)
-        scaled = solve_scaled_mpc if is_mpc else solve_scaled_dense
-        x, core = scaled(raw, data, z0, l0, v0, options)
         from fbstab_tpu.models.refine import refine_engaged
-        if refine_engaged(options.validated(), z0.dtype):
+        from fbstab_tpu.models.scaling import (
+            ruiz_dense_scaling, ruiz_mpc_scaling, scaling_engaged,
+            solve_scaled_dense, solve_scaled_mpc)
+        opts = options.validated()
+        scaled = solve_scaled_mpc if is_mpc else solve_scaled_dense
+        ruiz = ruiz_mpc_scaling if is_mpc else ruiz_dense_scaling
+        # Ruiz scaling computed once per shard and shared by the solve
+        # and the refinement loop; the f32 residual rewrite is skipped
+        # when refinement re-reports in df-verified original units.
+        scal = (jax.vmap(ruiz)(data)
+                if scaling_engaged(opts, z0.dtype) else None)
+        will_refine = refine_engaged(opts, z0.dtype)
+        x, core = scaled(raw, data, z0, l0, v0, opts, scal=scal,
+                         skip_residual_rewrite=will_refine)
+        if will_refine:
             from fbstab_tpu.models.refine import (
                 refine_solution_dense, refine_solution_mpc)
             refine = refine_solution_mpc if is_mpc else refine_solution_dense
-            x, core = refine(data, x, core, options.validated())
+            x, core = refine(data, x, core, opts, scal=scal)
         if with_stats:
             return x, core, batch_stats(core)
         return x, core

@@ -182,9 +182,52 @@ def test_refine_preserves_certificates(monkeypatch):
     np.testing.assert_array_equal(np.asarray(core.eflag),
                                   np.asarray(raw_core.eflag))
     # The certificate lane is bit-identical to the unrefined output,
-    # with zero lo parts; its residual report is the raw one.
+    # with zero lo parts; its residual report is the double-float
+    # evaluation at the SAME point (round 4: the refined path skips the
+    # f32 re-evaluation and reports res0 everywhere, so the value agrees
+    # with the raw path's f32 evaluation to f32 roundoff, not bitwise).
     np.testing.assert_array_equal(np.asarray(x.z[0])[3],
                                   np.asarray(raw_x.z)[3])
     assert np.all(np.asarray(x.z[1])[3] == 0.0)
-    assert float(np.asarray(core.residual)[3]) == \
-        float(np.asarray(raw_core.residual)[3])
+    np.testing.assert_allclose(
+        float(np.asarray(core.residual)[3]),
+        float(np.asarray(raw_core.residual)[3]), rtol=1e-4)
+
+
+def test_chunked_refine_matches_global(monkeypatch):
+    """The chunked early-exit refine loop (lax.map over REFINE_CHUNK
+    lanes, round 4) must deliver the same contract as the batch-global
+    loop: every lane at the f64-verified target, per-lane step counts
+    reported per chunk (a hard chunk does not inflate the others')."""
+    import fbstab_tpu.models.refine as refine_mod
+    from fbstab_tpu.models.refine import VariableDF
+
+    monkeypatch.setattr(mpc, "PALLAS_MODE", "off")
+    jax.clear_caches()
+    mpc._make_fused_step.cache_clear()
+
+    B = 16
+    opts = Options.single_precision()
+    data, z0, l0, v0 = build_batch(B, 10, 4, 2, 4, jnp.float32)
+
+    # Global loop (chunk >= B).
+    monkeypatch.setattr(refine_mod, "REFINE_CHUNK", B)
+    xg, cg = mpc.solve_mpc_qp_batch(data, z0, l0, v0, opts)
+    # Chunked loop (4 chunks of 4).
+    monkeypatch.setattr(refine_mod, "REFINE_CHUNK", 4)
+    jax.clear_caches()
+    xc, cc = mpc.solve_mpc_qp_batch(data, z0, l0, v0, opts)
+
+    assert isinstance(xc, VariableDF)
+    assert np.array_equal(np.asarray(cg.eflag), np.asarray(cc.eflag))
+    for x_, c_ in ((xg, cg), (xc, cc)):
+        sol = x_.to_float64()
+        r64 = _f64_pnr(data, sol, opts.alpha)
+        assert np.all(r64 <= 1e-6), r64
+        # Reported residual is the fresh loop-independent evaluation.
+        np.testing.assert_allclose(np.asarray(c_.residual, np.float64),
+                                   r64, rtol=0.3, atol=1e-9)
+    # Per-lane executed counts are constant within a chunk.
+    steps = np.asarray(cc.refine_steps).reshape(4, 4)
+    assert np.all(steps == steps[:, :1])
+    assert np.all(steps >= 1)
