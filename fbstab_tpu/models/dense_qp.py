@@ -278,20 +278,29 @@ def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
                                  scal=scal,
                                  skip_residual_rewrite=will_refine)
     if opts.retry_failed and z0.dtype == jnp.float32:
+        from jax import lax
+
         from fbstab_tpu.models.scaling import (
             merge_failed_retry, retry_options)
         from fbstab_tpu.solver_out import ExitFlag
         # The retry profile must reach the SOLVER, not just the scaling
         # wrapper (fixed round 4: the retry pass previously re-ran the
         # identical options and could only succeed by luck of the
-        # warmstart).
+        # warmstart). The pass rides a lax.cond on "any lane failed" so
+        # zero-failure batches skip the second solve at runtime.
         ropts = retry_options(opts)
-        m = (core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED))[:, None]
-        x2, core2 = solve_scaled_dense(
-            raw_with(ropts), data, jnp.where(m, z0, x.z),
-            jnp.where(m, l0, x.l), jnp.where(m, v0, x.v), ropts,
-            scal=scal, skip_residual_rewrite=will_refine)
-        x, core = merge_failed_retry(x, core, x2, core2)
+        fail = core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)
+
+        def _do_retry(_):
+            m = fail[:, None]
+            x2, core2 = solve_scaled_dense(
+                raw_with(ropts), data, jnp.where(m, z0, x.z),
+                jnp.where(m, l0, x.l), jnp.where(m, v0, x.v), ropts,
+                scal=scal, skip_residual_rewrite=will_refine)
+            return merge_failed_retry(x, core, x2, core2)
+
+        x, core = lax.cond(jnp.any(fail), _do_retry,
+                           lambda _: (x, core), None)
     if will_refine:
         from fbstab_tpu.models.refine import refine_solution_dense
         return refine_solution_dense(data, x, core, opts, scal=scal)

@@ -1008,16 +1008,25 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
         from fbstab_tpu.models.scaling import (
             merge_failed_retry, retry_options)
         from fbstab_tpu.solver_out import ExitFlag
+        fail = core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)
+
         # Failed lanes restart from the caller's guess (their last
         # iterate is near the singular configuration that failed);
         # everyone else re-enters AT their solution and exits
-        # immediately, keeping the lockstep pass cheap.
-        m = (core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED))[:, None]
-        x2, core2 = scaled_solve(
-            retry_options(opts), data,
-            jnp.where(m, z0, x.z), jnp.where(m, l0, x.l),
-            jnp.where(m, v0, x.v))
-        x, core = merge_failed_retry(x, core, x2, core2)
+        # immediately, keeping the lockstep pass cheap. The whole pass
+        # rides a lax.cond on "any lane failed": the common zero-failure
+        # batch skips the second solve at RUNTIME (measured ~5 ms of the
+        # headline solve), while the compiled program keeps the branch.
+        def _do_retry(_):
+            m = fail[:, None]
+            x2, core2 = scaled_solve(
+                retry_options(opts), data,
+                jnp.where(m, z0, x.z), jnp.where(m, l0, x.l),
+                jnp.where(m, v0, x.v))
+            return merge_failed_retry(x, core, x2, core2)
+
+        x, core = lax.cond(jnp.any(fail), _do_retry,
+                           lambda _: (x, core), None)
     from fbstab_tpu.models.refine import refine_engaged
     if refine_engaged(opts, z0.dtype):
         from fbstab_tpu.models.refine import refine_solution_mpc
