@@ -384,7 +384,9 @@ def _refine_dense_loop(data, x: Variable, options: Options, good,
         blocks = pick(blocks_p, blocks)
         res_best = jnp.where(better, res_p, res_best)
         t = jnp.where(better, 1.0, t * 0.5)
-        sig = jnp.where(ok, sigma, jnp.minimum(sig * 8.0, 8e-2))
+        # Escalate on rejected steps, keep the sigma that worked (see
+        # _refine_mpc_loop).
+        sig = jnp.where(better, sig, jnp.minimum(sig * 8.0, 8e-2))
         live = live & (t >= 1.0 / 64.0)
         return (best, blocks, res_best, live, t, sig, i + 1)
 
@@ -581,10 +583,18 @@ def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
         blocks = pick(blocks_p, blocks)
         res_best = jnp.where(better, res_p, res_best)
         t = jnp.where(better, 1.0, t * 0.5)
-        # A failed factorization retries with an 8x larger proximal
-        # sigma (the regularize-and-retry the reference leaves as a
-        # TODO, riccati_linear_solver.cc:129-130); success resets it.
-        sig = jnp.where(ok, sigma, jnp.minimum(sig * 8.0, 8e-2))
+        # Sigma escalation keys on REJECTED steps, not just NaN
+        # failures: on badly conditioned plants an aggressive
+        # refine_sigma yields silently-garbage f32 corrections (the
+        # factorization completes, no NaN — measured on the
+        # SpacecraftRelativeMotion: the damped loop rejected every
+        # step until lanes died at 2.3e-4 while sigma never moved).
+        # A step that improves KEEPS the sigma that produced it; a
+        # rejected or failed step escalates 8x (the regularize-and-
+        # retry the reference leaves as a TODO,
+        # riccati_linear_solver.cc:129-130). Well-conditioned lanes
+        # never reject, so the aggressive default costs them nothing.
+        sig = jnp.where(better, sig, jnp.minimum(sig * 8.0, 8e-2))
         # A lane whose damping is exhausted has genuinely stalled.
         live = live & (t >= 1.0 / 64.0)
         return (best, blocks, res_best, live, t, sig, i + 1)
