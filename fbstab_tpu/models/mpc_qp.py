@@ -622,7 +622,7 @@ MPC_OPS = ProblemOps(
 # "auto" switches the single-instance solve to the parallel Riccati at
 # these horizons. Measured single-instance crossovers (double
 # integrator): TPU v5e f32 — assoc wins already at N=60 (1.7x) and by
-# 15.6x at N=480 (the scan path's per-stage HLO dispatch dominates);
+# 28x at N=480 (the scan path's per-stage HLO dispatch dominates);
 # CPU f64 — crossover near N=240.
 ASSOC_MIN_HORIZON_TPU = 48
 ASSOC_MIN_HORIZON = 192
@@ -872,25 +872,49 @@ def _subfused_eligible(data: MpcQPData, dtype):
     return None
 
 
+# Beyond-envelope BATCHED dispatch: the scan-vs-assoc choice flips on
+# the stage dimension, not the horizon (measured round 4, B=256 raw
+# tier, v5e f32, scratch/tpu_longbatch.py / tpu_crossover.py /
+# tpu_copoly320.py):
+#   nx=2  N=480: scan 128.3 QPs/s vs assoc 35.8   (scan 3.6x)
+#   nx=4  N=480: scan  20.2        vs assoc  6.3  (scan 3.2x)
+#   nx=6  N=480: scan  16.9        vs assoc  4.4  (scan 3.8x)
+#   nx=18 N=320: assoc 80.8        vs scan  41.8  (assoc 1.9x)
+# With the batch axis on the 128-wide vector lanes, B >= 256 already
+# saturates the VPU at every horizon step, so the sequential scan is
+# compute- not latency-bound and the assoc span algebra's constant-
+# factor FLOP multiple (~6x) loses. Only once the per-stage block math
+# itself is large (copoly-class nx=18) does the scan's serialized
+# stage critical path dominate and the O(log N) form win. The 7..15
+# band is unmeasured; it defaults to scan, the measured-majority side
+# (a wrong scan there costs < 2x, a wrong assoc costs > 3x).
+# Single-instance dispatch is different: there the lanes are EMPTY and
+# the scan is pure dispatch latency — assoc wins from N >= 48
+# (ASSOC_MIN_HORIZON_TPU above).
+ASSOC_MIN_STATE_DIM_BATCH = 16
+
+
 def _auto_batch_riccati(data: MpcQPData, dtype, backend=None) -> str:
     """Shape-based batch dispatch policy (riccati='auto'):
 
      - within the fused-kernel envelope (`_kernel_mode` not None), the
        scan-ops path is right: eligible batches land on a fused tier and
        the rest engage the Newton-step kernel via custom_vmap;
-     - beyond it (N > 160, nx > 32, or past the VMEM model) the vmapped
-       sequential scan is the ~143 QPs/s cliff the batched parallel
-       (associative-scan) Riccati exists to avoid: on TPU f32 it is the
-       documented fallback (measured 2.6x the scan on copoly-class
-       shapes; see docs/ARCHITECTURE.md), on CPU it wins only at long
-       horizons (crossover near N=ASSOC_MIN_HORIZON).
+     - beyond it (N > 160, nx > 32, or past the VMEM model), on TPU f32
+       the stage dimension decides (ASSOC_MIN_STATE_DIM_BATCH above):
+       large stage blocks go to the batched parallel (associative-scan)
+       Riccati, small ones stay on the vmapped sequential scan — the
+       batch axis already fills the vector lanes, and the assoc form's
+       constant-factor FLOP multiple loses there (measured, round 4).
+       On CPU the assoc path wins only at long horizons (crossover near
+       N=ASSOC_MIN_HORIZON).
     """
     N, nx, nu, nc = mpc_dims(data)
     if _kernel_mode(N, nx, nu, nc) is not None:
         return "scan"
     backend = backend or jax.default_backend()
     if backend == "tpu" and dtype == jnp.float32:
-        return "assoc"
+        return "assoc" if nx >= ASSOC_MIN_STATE_DIM_BATCH else "scan"
     return "assoc" if N >= ASSOC_MIN_HORIZON else "scan"
 
 
@@ -953,8 +977,10 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
         fused Riccati kernel via custom_vmap (TPU) or the lax.scan path
         (CPU / f64);
      4. beyond the kernel envelope (N > 160 / nx > 32 / past the VMEM
-        model), the batched parallel associative-scan Riccati
-        (riccati='auto' policy, `_auto_batch_riccati`).
+        model): the batched parallel associative-scan Riccati for
+        copoly-class stage dims (nx >= 16), the vmapped sequential scan
+        for small ones (riccati='auto' policy, `_auto_batch_riccati`;
+        measured crossover, round 4).
 
     riccati: 'auto' (default, the policy above), 'scan' (force the
     sequential-recursion ops; eligible batches still use the fused

@@ -50,15 +50,23 @@ def test_smaller_tile_does_not_shrink_the_model():
             == m._fused_vmem_mb(30, 8, 3, 6, tile_b=128))
 
 
-def test_batch_auto_beyond_kernel_caps_routes_to_assoc():
-    """riccati='auto' (the solve_mpc_qp_batch default) must dispatch
-    batches beyond the fused-kernel envelope to the batched parallel
-    (associative-scan) Riccati instead of the vmapped sequential scan
-    (VERDICT r2 item 2; the documented fallback policy in
-    docs/ARCHITECTURE.md)."""
-    # Horizon beyond the N cap.
+def test_batch_auto_beyond_kernel_caps_policy():
+    """riccati='auto' (the solve_mpc_qp_batch default) beyond the
+    fused-kernel envelope: on TPU f32 the STAGE DIMENSION decides
+    (measured round 4, `ASSOC_MIN_STATE_DIM_BATCH` — the batch axis
+    already fills the vector lanes, so small-stage batches stay on the
+    vmapped sequential scan at 3.2-3.8x the assoc throughput, while
+    copoly-class stage blocks go to the batched parallel
+    (associative-scan) Riccati at 1.9x the scan)."""
+    # Long horizon, tiny stage blocks: scan wins (measured 128.3 vs
+    # 35.8 QPs/s at N=480 nx=2).
     d480, _ = double_integrator(480, dtype=jnp.float32)
     assert m._auto_batch_riccati(d480, jnp.float32, backend="tpu") \
+        == "scan"
+    # Beyond-envelope copoly-class stage dims: assoc (measured 80.8 vs
+    # 41.8 QPs/s at N=320 nx=18).
+    d320, _ = copolymerization_reactor(320, dtype=jnp.float32)
+    assert m._auto_batch_riccati(d320, jnp.float32, backend="tpu") \
         == "assoc"
     # State dim beyond the nx cap (synthetic shapes; values irrelevant).
     nx, nu, nc, N = 40, 4, 6, 30
