@@ -383,9 +383,10 @@ def _refine_dense_loop(data, x: Variable, options: Options, good,
         best = pick((z_p, l_p, v_p, y_p), best)
         blocks = pick(blocks_p, blocks)
         res_best = jnp.where(better, res_p, res_best)
-        t = jnp.where(better, 1.0, t * 0.5)
-        # Escalate on rejected steps, keep the sigma that worked (see
-        # _refine_mpc_loop).
+        # Escalate on rejected steps with a damping reset while sigma
+        # still has headroom (second wind, see _refine_mpc_loop).
+        wind = ~better & live & (sig < 8e-2)
+        t = jnp.where(better | wind, 1.0, t * 0.5)
         sig = jnp.where(better, sig, jnp.minimum(sig * 8.0, 8e-2))
         live = live & (t >= 1.0 / 64.0)
         return (best, blocks, res_best, live, t, sig, i + 1)
@@ -582,7 +583,6 @@ def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
         best = pick((zx_p, zu_p, l_p, v_p, y_p), best)
         blocks = pick(blocks_p, blocks)
         res_best = jnp.where(better, res_p, res_best)
-        t = jnp.where(better, 1.0, t * 0.5)
         # Sigma escalation keys on REJECTED steps, not just NaN
         # failures: on badly conditioned plants an aggressive
         # refine_sigma yields silently-garbage f32 corrections (the
@@ -592,10 +592,20 @@ def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
         # A step that improves KEEPS the sigma that produced it; a
         # rejected or failed step escalates 8x (the regularize-and-
         # retry the reference leaves as a TODO,
-        # riccati_linear_solver.cc:129-130). Well-conditioned lanes
-        # never reject, so the aggressive default costs them nothing.
+        # riccati_linear_solver.cc:129-130). While sigma still has
+        # headroom an escalation also RESETS the damping (second
+        # wind): the rejected trials that burned the old ladder said
+        # nothing about the new, better-conditioned correction
+        # operator, and killing the lane on their count strands it
+        # just above target (measured: 8/128 perturbed Spacecraft
+        # lanes at 1e-6..9e-6). A lane is declared stalled only once
+        # sigma is at its cap AND the damping ladder re-exhausts —
+        # bounded by ~4 escalations + 6 halvings, inside the
+        # refine_steps budget. Well-conditioned lanes never reject,
+        # so none of this costs them anything.
+        wind = ~better & live & (sig < 8e-2)
+        t = jnp.where(better | wind, 1.0, t * 0.5)
         sig = jnp.where(better, sig, jnp.minimum(sig * 8.0, 8e-2))
-        # A lane whose damping is exhausted has genuinely stalled.
         live = live & (t >= 1.0 / 64.0)
         return (best, blocks, res_best, live, t, sig, i + 1)
 

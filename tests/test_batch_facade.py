@@ -121,7 +121,7 @@ def test_f32_facade_refines_by_default(monkeypatch):
     B = 16
     data, _, _, _ = build_dense_batch(B, 8, 12, jnp.float32)
     solver = FBstabDenseBatch(B=B, nz=8, nl=0, nv=12)
-    assert solver.options.refine_steps == 24
+    assert solver.options.refine_steps == 48
     x, out, stats = solver.solve(data)
     assert isinstance(x, VariableDF)
     assert np.all(np.asarray(out.eflag) == 0)

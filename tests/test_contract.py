@@ -67,8 +67,8 @@ def test_single_precision_meets_1e6_contract(monkeypatch, plant, horizon,
     mpc._make_fused_step.cache_clear()
 
     dtype = jnp.float32
-    # The product default: refine_steps=24 is the MAXIMUM; the loop
-    # early-exits at refine_target (typically ~3 executed steps).
+    # The product default: refine_steps=48 is the MAXIMUM; the loop
+    # early-exits at refine_target (typically ~2 executed steps).
     opts = Options.single_precision()
     data, _ = plant(horizon, dtype=dtype)
     N, nx, nu, nc = mpc.mpc_dims(data)

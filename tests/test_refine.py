@@ -134,7 +134,7 @@ def test_dispatcher_refines_by_default(monkeypatch):
 
     B = 32
     opts = Options.single_precision()
-    assert opts.refine_steps == 24         # the product default
+    assert opts.refine_steps == 48         # the product default
     data, z0, l0, v0 = build_batch(B, 30, 8, 3, 6, jnp.float32)
     x, core = mpc.solve_mpc_qp_batch(data, z0, l0, v0, opts)
     assert np.all(np.asarray(core.eflag) == 0)
