@@ -386,9 +386,12 @@ def run_sharded(B=None):
         lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
     mesh = make_mesh(jax.devices()[:1])
     interp = platform == "cpu"
-    tile = 2 if interp else 128
+    # tile_b=None on TPU selects the PRODUCTION per-shard dispatch
+    # (the full contract path under shard_map) so both sides run the
+    # same work — an explicit tile would bypass equilibrate+refine and
+    # inflate the ratio (round-4 fix).
     sharded = sharded_mpc_solver_fused(
-        mesh, opts, interpret=interp, tile_b=tile)
+        mesh, opts, interpret=interp, tile_b=2 if interp else None)
     args = shard_batch(mesh, (data, z0, l0, v0))
 
     def timeit(fn, a):
@@ -402,13 +405,20 @@ def run_sharded(B=None):
             ts.append(time.perf_counter() - t0)
         return min(ts), out
 
-    t_d, _ = timeit(direct, (data, z0, l0, v0))
+    t_d, out_d = timeit(direct, (data, z0, l0, v0))
     t_s, out_s = timeit(sharded, args)
     stats = out_s[2]
     eff = t_d / t_s
+    # Executed refine steps on each side: the refine loop's early exit is
+    # data-dependent, so a numerics difference between the SPMD and the
+    # manually partitioned compilation would show up here first.
+    rs_d = mean_refine_steps(out_d[1])
+    rs_s = mean_refine_steps(out_s[1])
     print(f"bench[sharded]: platform={platform} B={B} direct {t_d:.3f}s "
           f"vs shard_map {t_s:.3f}s -> per-chip efficiency {eff:.3f}; "
-          f"success {int(stats.num_success)}/{B}", file=sys.stderr)
+          f"success {int(stats.num_success)}/{B}; "
+          f"refine_steps direct={rs_d:.2f} sharded={rs_s:.2f}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "sharding_per_chip_efficiency",
         "value": round(eff, 4),
@@ -1164,7 +1174,7 @@ def main():
 
     # Contract verification (outside the timed window): the returned
     # solution is a double-float pair (the f32 product default refines
-    # until the 1e-6 target, refine_steps=24 max / ~2 executed);
+    # until the 1e-6 target, refine_steps=48 max / ~2 executed);
     # recompute its penalized natural residual entirely in host float64.
     if hasattr(x, "to_float64"):
         sol = x.to_float64()
