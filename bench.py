@@ -501,17 +501,23 @@ def run_adaptive_mixed(B=None):
     }))
 
 
-def run_adaptive(B=None):
-    """python bench.py adaptive: two-phase adaptive vs one-shot on the
-    headline workload (VERDICT r1 item 4: measured uplift or a documented
-    null result). `python bench.py adaptive mixed` runs the
-    mixed-difficulty variant (run_adaptive_mixed)."""
+def run_adaptive(B=None, phase1=16):
+    """python bench.py adaptive: DEVICE-SIDE two-phase adaptive vs
+    one-shot on the uniform headline workload, full contract defaults
+    (VERDICT r1 item 4). `python bench.py adaptive mixed` runs the
+    mixed-difficulty variant (run_adaptive_mixed).
+
+    Uses solve_mpc_qp_batch_adaptive_device (one jit): the host-sync
+    variant's gather/scatter/refine run EAGERLY, which through the axon
+    tunnel costs ~27 ms per dispatch — measured 811 QPs/s on this very
+    workload, a pure harness artifact (CLAUDE.md perf rule 4)."""
     import jax
     import jax.numpy as jnp
 
     from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
     from fbstab_tpu.options import Options
-    from fbstab_tpu.parallel.adaptive import solve_mpc_qp_batch_adaptive
+    from fbstab_tpu.parallel.adaptive import (
+        solve_mpc_qp_batch_adaptive_device)
 
     platform = jax.devices()[0].platform
     if B is None:
@@ -522,38 +528,35 @@ def run_adaptive(B=None):
     data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
 
     one = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
-    x, core = one(data, z0, l0, v0)
-    np.asarray(core.residual)
+    ada = _jit(lambda d, z, l, v: solve_mpc_qp_batch_adaptive_device(
+        d, z, l, v, opts, phase1_newton_iters=phase1,
+        phase2_size=max(B // 4, 128)))
 
-    def adaptive(d):
-        return solve_mpc_qp_batch_adaptive(
-            d, z0, l0, v0, opts, phase1_newton_iters=25)
-
-    xa, ca = adaptive(data)                     # compile both phases
-    np.asarray(ca.residual)
-
-    def timeit(fn, d):
-        t0 = time.perf_counter()
-        _, c = fn(d)
+    def timeit(fn):
+        _, c = fn(data, z0, l0, v0)
         np.asarray(c.residual)
-        return time.perf_counter() - t0
+        ts = []
+        for i in range(1, 4):
+            fresh = data._replace(x0=data.x0 * (1 + 1e-6 * i))
+            t0 = time.perf_counter()
+            _, c = fn(fresh, z0, l0, v0)
+            np.asarray(c.residual)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), c
 
-    t_one = min(timeit(lambda d: one(d, z0, l0, v0),
-                       data._replace(x0=data.x0 * (1 + 1e-6 * i)))
-                for i in range(1, 4))
-    t_ada = min(timeit(adaptive,
-                       data._replace(x0=data.x0 * (1 + 1e-6 * i)))
-                for i in range(1, 4))
+    t_one, _ = timeit(one)
+    t_ada, ca = timeit(ada)
     succ_a = float(np.mean(np.asarray(ca.eflag) == 0))
     print(f"bench[adaptive]: platform={platform} B={B} one-shot "
-          f"{B / t_one:.0f} QPs/s vs adaptive {B / t_ada:.0f} QPs/s "
-          f"(x{t_one / t_ada:.2f}); adaptive success={succ_a:.3f}",
-          file=sys.stderr)
+          f"{B / t_one:.0f} QPs/s vs adaptive(phase1={phase1}) "
+          f"{B / t_ada:.0f} QPs/s (x{t_one / t_ada:.2f}); "
+          f"adaptive success={succ_a:.3f}", file=sys.stderr)
     print(json.dumps({
         "metric": "mpc_adaptive_qps_per_chip",
         "value": round(B / t_ada, 1),
         "unit": "QPs/s",
         "vs_baseline": round((B / t_ada) / BASELINE_QPS, 3),
+        "speedup_vs_one_shot": round(t_one / t_ada, 3),
     }))
 
 
@@ -1030,7 +1033,7 @@ def mean_refine_steps(core) -> float:
 
 
 def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
-                   tile_b=128):
+                   tile_b=128, two_phase=None):
     """Auditable first-order performance model for the fused MPC solver
     (VERDICT r2 item 9): per-solve FLOPs, sustained FLOP/s, and % of the
     VPU instruction-issue bound, all derivable from this function + the
@@ -1080,8 +1083,25 @@ def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
 
     ni = np.asarray(newton_iters, np.int64)
     n_tiles = (B + tile_b - 1) // tile_b
-    per_tile_max = ni[: n_tiles * tile_b].reshape(n_tiles, -1).max(axis=1)
-    lockstep_iters = int(per_tile_max.sum())   # tile-iterations executed
+    if two_phase is None:
+        per_tile_max = (ni[: n_tiles * tile_b]
+                        .reshape(n_tiles, -1).max(axis=1))
+        lockstep_iters = int(per_tile_max.sum())   # tile-iters executed
+    else:
+        # Device-side two-phase execution (phase-1 budget k1, phase-2
+        # capacity P): each phase-1 tile runs to min(its max need, k1);
+        # stragglers are compacted IN INDEX ORDER into phase-2 tiles
+        # that run to their own max of the remaining iterations. The
+        # merged CoreOut.newton_iters accumulates both phases, so the
+        # per-lane totals reconstruct both terms.
+        k1, P = two_phase
+        pt = ni[: n_tiles * tile_b].reshape(n_tiles, -1).max(axis=1)
+        phase1 = int(np.minimum(pt, k1).sum())
+        rest = ni[ni > k1] - k1                   # index order = gather order
+        rest = rest[: P]                          # beyond capacity: kept capped
+        p2_tiles = [rest[i:i + tile_b] for i in range(0, len(rest), tile_b)]
+        phase2 = int(sum(int(t.max()) for t in p2_tiles if len(t)))
+        lockstep_iters = phase1 + phase2
     flops_solve_mean = float(flops_iter * ni.mean() + flops_refine)
     sustained = flops_solve_mean * (B / t_solve)
 
@@ -1133,9 +1153,25 @@ def main():
     args = build_batch(B, N, nx, nu, nc, dtype)
     data, z0, l0, v0 = args
 
+    # Headline configuration: the device-side two-phase adaptive solve
+    # (parallel/adaptive.py, the FBstabMpcBatch(adaptive=True) product
+    # path). One-shot lockstep makes every 128-lane tile wait on its own
+    # Newton-iteration tail (34 tile-iters vs a per-lane mean of 11.2);
+    # capping phase 1 and re-solving the compacted stragglers measured
+    # 21.9k vs 18.8k one-shot QPs/s at the same 100% success and 1e-6
+    # contract (round-4 sweep, scratch/tpu_adaptive_sweep.py: phase1=16
+    # is the sweet spot; 12 under-seeds the phase-2 warmstart and FAILS
+    # lanes — do not lower it without re-running the sweep).
+    PHASE1 = 16
+    P2 = max(B // 4, 128)
+    two_phase_cfg = (PHASE1, P2)
+
     def compile_and_warm():
-        f = _jit(
-            lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+        from fbstab_tpu.parallel.adaptive import (
+            solve_mpc_qp_batch_adaptive_device)
+        f = _jit(lambda d, z, l, v: solve_mpc_qp_batch_adaptive_device(
+            d, z, l, v, opts, phase1_newton_iters=PHASE1,
+            phase2_size=P2))
         xx, cc = f(data, z0, l0, v0)
         np.asarray(cc.residual)
         return f, xx, cc
@@ -1154,6 +1190,8 @@ def main():
         _mpc.PALLAS_MODE = "off"
         jax.clear_caches()
         B = 512
+        P2 = max(B // 4, 128)
+        two_phase_cfg = (PHASE1, P2)
         args = build_batch(B, N, nx, nu, nc, dtype)
         data, z0, l0, v0 = args
         fn, x, core = compile_and_warm()
@@ -1185,8 +1223,9 @@ def main():
                            np.asarray(x.v, np.float64), opts.alpha)
     frac_1e6 = float(np.mean(res64 <= 1e-6))
     pm = mpc_perf_model(B, N, nx, nu, nc, core.newton_iters, min(times),
-                        mean_refine_steps(core))
+                        mean_refine_steps(core), two_phase=two_phase_cfg)
     pm["max_refine_steps"] = executed_refine_steps(core)
+    pm["two_phase"] = {"phase1_newton_iters": PHASE1, "phase2_size": P2}
 
     # Per-plant contract audit (round-4 item 4): the headline JSON alone
     # must prove the 1e-6 contract on the reference's own test problems

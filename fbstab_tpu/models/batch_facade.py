@@ -155,19 +155,18 @@ class FBstabMpcBatch(_BatchFacadeBase):
             if not isinstance(d, MpcQPDataT):
                 d = with_transposed(d)
             if self.adaptive:
+                # Device-side (jittable) two-phase: the host-sync
+                # variant's gather/scatter/refine dispatch eagerly,
+                # which through a remote-TPU tunnel costs ~27 ms per op
+                # (measured 811 QPs/s on the headline workload — a pure
+                # harness artifact). Fixed phase-2 capacity B // 4.
                 from fbstab_tpu.parallel.adaptive import (
-                    solve_mpc_qp_batch_adaptive)
-                return solve_mpc_qp_batch_adaptive(d, z, l, v, opts)
+                    solve_mpc_qp_batch_adaptive_device)
+                return solve_mpc_qp_batch_adaptive_device(d, z, l, v, opts)
             return solve_mpc_qp_batch(d, z, l, v, opts,
                                       riccati=self.riccati)
 
         return f
-
-    def _get_compiled(self):
-        if self.adaptive:
-            # No outer jit (host sync between phases).
-            return self._solver(self._options)
-        return super()._get_compiled()
 
     def _carry(self, last: Variable, data) -> Variable:
         from fbstab_tpu.models.receding_horizon import shift_warmstart
@@ -211,17 +210,14 @@ class FBstabDenseBatch(_BatchFacadeBase):
 
         def f(d, z, l, v):
             if self.adaptive:
+                # Device-side (jittable) two-phase; see FBstabMpcBatch.
                 from fbstab_tpu.parallel.adaptive import (
-                    solve_dense_qp_batch_adaptive)
-                return solve_dense_qp_batch_adaptive(d, z, l, v, opts)
+                    solve_dense_qp_batch_adaptive_device)
+                return solve_dense_qp_batch_adaptive_device(
+                    d, z, l, v, opts)
             return solve_dense_qp_batch(d, z, l, v, opts)
 
         return f
-
-    def _get_compiled(self):
-        if self.adaptive:
-            return self._solver(self._options)
-        return super()._get_compiled()
 
     def _carry(self, last: Variable, data) -> Variable:
         # Dense QPs have no stage structure to shift; replay as-is (the

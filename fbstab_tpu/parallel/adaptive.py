@@ -228,6 +228,18 @@ def solve_mpc_qp_batch_adaptive(data, z0, l0, v0, options: Options,
         refine_fn=refine_solution_mpc, **kwargs)
 
 
+def solve_dense_qp_batch_adaptive_device(data, z0, l0, v0,
+                                         options: Options, **kwargs):
+    """Device-side (jittable, shard_map-safe) adaptive dense batch
+    solve."""
+    from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
+    from fbstab_tpu.models.refine import refine_solution_dense
+
+    return solve_batch_adaptive_device(
+        solve_dense_qp_batch, refine_solution_dense, data, z0, l0, v0,
+        options, **kwargs)
+
+
 def solve_dense_qp_batch_adaptive(data, z0, l0, v0, options: Options,
                                   **kwargs):
     """Adaptive two-phase dense batch solve on the fused dispatch path."""

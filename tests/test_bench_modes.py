@@ -90,3 +90,22 @@ def test_dispatch_returns_executed_refine_steps(monkeypatch):
     _, core0 = mpc.solve_mpc_qp_batch(data, z0, l0, v0, opts0)
     assert bench.executed_refine_steps(core0) == 0
     assert np.all(np.asarray(core.eflag) == 0)
+
+
+def test_perf_model_two_phase_compaction():
+    """The two-phase model must credit straggler COMPACTION: 16 tiles
+    that each contain one 40-iteration lane pay 40 tile-iters apiece in
+    one-shot lockstep, but under (phase1=16, P>=16) the 16 stragglers
+    share one phase-2 tile."""
+    import numpy as np
+
+    B, tile = 2048, 128
+    ni = np.full(B, 10, np.int32)
+    ni[::tile] = 40                    # one straggler per tile
+    one = bench.mpc_perf_model(B, 30, 8, 3, 6, ni, 0.05, 2)
+    two = bench.mpc_perf_model(B, 30, 8, 3, 6, ni, 0.05, 2,
+                               two_phase=(16, 512))
+    assert one["lockstep_tile_iters"] == 16 * 40
+    # phase1: 16 tiles x min(40, 16) + phase2: one tile x (40 - 16)
+    assert two["lockstep_tile_iters"] == 16 * 16 + 24
+    assert two["issue_bound_s"] < one["issue_bound_s"]
