@@ -16,11 +16,16 @@ Both phases run through the class dispatchers (`solve_mpc_qp_batch` /
 solver kernels. Compaction stays on device: only the scalar retry COUNT
 crosses the host boundary (it must — the phase-2 batch shape is static).
 
-Measured on the fused kernel path the two-phase scheme is roughly
-throughput-neutral (fused solve time is not proportional to the Newton
-budget; see docs/ARCHITECTURE.md), so this is primarily a TAIL-LATENCY
-and robustness tool: phase 2 can apply a stronger options profile to just
-the stragglers without slowing the whole batch down.
+Measured on v5e (round 4, scratch/tpu_adaptive_sweep.py): with the right
+phase-1 budget this is a THROUGHPUT win, not just a tail tool — the
+one-shot fused solve is lockstep per 128-lane tile (34 tile-iterations
+against a per-lane mean of 11.2 on the headline workload), and capping
+phase 1 at 16 with a compacted warmstarted phase 2 runs 21.9k vs 18.8k
+QPs/s at identical 100% success and 1e-6 contract. The budget has a
+FLOOR: phase1=12 under-seeds the phase-2 warmstart (the mid-swing
+iterate is a bad restart point) and lanes fail outright — sweep before
+lowering it. On mixed-difficulty batches (5% hard lanes) the win is
+2.18x (`bench.py adaptive mixed`).
 """
 
 from __future__ import annotations
