@@ -643,22 +643,49 @@ def _splice_df(refined: VariableDF, x: Variable, good) -> VariableDF:
 
 # Refinement runs its early-exit while_loop over fixed-size batch chunks
 # (lax.map): the exit is per-chunk rather than batch-global, so one
-# limit-cycling lane only keeps its OWN chunk stepping. Measured on v5e
-# (B-sweep, round 4): with a batch-global exit the executed step count
-# grows with batch size as the tail worsens (2 steps at B=8192, 6 at
-# 16384, 11 at 32768 — throughput REGRESSING from 19.5k to 13.3k QPs/s);
-# chunking bounds the damage to one chunk's share of the batch. 2048
-# lanes = 16 kernel tiles per chunk step keeps the VPU saturated.
-REFINE_CHUNK = 2048
+# limit-cycling lane only keeps its OWN chunk stepping, and chunks whose
+# lanes all satisfy the target early stop paying for anyone else's tail.
+# Measured on v5e (round 4): with a batch-global exit the executed step
+# count grows with batch size as the tail worsens (2 steps at B=8192, 6
+# at 16384, 11 at 32768 — throughput REGRESSING from 19.5k to 13.3k
+# QPs/s). The chunk size itself then swept AGAINST the original
+# "keep 16 tiles in flight" intuition — SMALLER chunks win across every
+# class (sigma=1e-5, contract path, QPs/s):
+#
+#   chunk      mpc B=8192   dense B=32768   copoly B=2048
+#   2048         18,984        118,672          3,772
+#   1024            —           140,552            —
+#    512         19,458        185,659          3,985
+#    256         20,183        211,264          4,274
+#    128         21,186        205,706          3,948
+#
+# — both from finer early-exit granularity and from the smaller
+# per-chunk loop state staying VMEM-resident across while iterations.
+# The peaks differ slightly by class (mpc small-stage at 128; dense and
+# large-stage mpc at 256); _refine_chunk picks per class/size.
+REFINE_CHUNK_SMALL = 128
+REFINE_CHUNK_LARGE = 256
+# Per-lane MPC state rows above which the LARGE chunk wins (copoly-class
+# stage dims; the headline class sits at 961 rows).
+_LARGE_ROWS = 2048
 
 
-def _chunked_refine(loop_fn, B, args):
+def _refine_chunk(rows: int | None) -> int:
+    """Measured per-class chunk size: rows=None (dense) or large-stage
+    MPC -> 256; small-stage MPC -> 128. See the table above."""
+    if rows is None or rows >= _LARGE_ROWS:
+        return REFINE_CHUNK_LARGE
+    return REFINE_CHUNK_SMALL
+
+
+def _chunked_refine(loop_fn, B, args, rows=None):
     """Maps `loop_fn` (one of the _refine_*_loop functions, already
-    closed over options/scal-handling) over REFINE_CHUNK-sized chunks of
-    the batch. args: pytrees with leading batch axis B. Returns the
+    closed over options/scal-handling) over fixed-size chunks of
+    the batch. args: pytrees with leading batch axis B. rows: per-lane
+    state rows for the chunk-size policy (None = dense). Returns the
     loop outputs with per-lane (B,) step counts. Falls back to one
     global call when the batch does not split evenly."""
-    ck = REFINE_CHUNK
+    ck = _refine_chunk(rows)
     if B <= ck or B % ck != 0:
         refined, res0, res, steps = loop_fn(args)
         return refined, res0, res, jnp.full((B,), steps, jnp.int32)
@@ -721,14 +748,18 @@ def refine_solution_mpc(data, x: Variable, core, options: Options,
             scal = jax.vmap(ruiz_mpc_scaling)(base)
         sdata = jax.vmap(apply_mpc_scaling)(base, scal)
         xs = scale_mpc_variable(x, scal)        # exact (pow2 diagonals)
+        N, nx, nu, nc = mpc_dims(base)
+        rows = (N + 1) * (nx + nu + nx + 2 * nc)
         refined_s, res0, res, steps = _chunked_refine(
             lambda a: _refine_mpc_loop(a[0], a[1], opts, a[2], a[3]),
-            B, (sdata, xs, good, scal))
+            B, (sdata, xs, good, scal), rows=rows)
         refined = unscale_mpc_variable_df(refined_s, scal)
     else:
+        N, nx, nu, nc = mpc_dims(base)
+        rows = (N + 1) * (nx + nu + nx + 2 * nc)
         refined, res0, res, steps = _chunked_refine(
             lambda a: _refine_mpc_loop(a[0], a[1], opts, a[2]),
-            B, (base, x, good))
+            B, (base, x, good), rows=rows)
     # res0 comes from the loop's ENTRY evaluation — outside the while
     # body, where df arithmetic compiles exactly (measured: XLA:CPU
     # breaks the error-free transforms only INSIDE while bodies — the

@@ -184,13 +184,16 @@ class Options:
         batches stop after ~2 executed steps) so the returned
         double-float solution meets the reference's default 1e-6
         accuracy contract — the product default on TPU, not an opt-in.
-        refine_sigma = 3e-5: the corrections' proximal regularization is
-        10x smaller than the solver's sigma0 (they start from a near-KKT
-        point, so the factorization tolerates it, and failures
-        auto-escalate 8x) — measured on v5e this contracts ~30x/step vs
-        ~8x at sigma0, turning 3 executed steps into 2 AND improving the
-        f64-verified max residual 5x (4.5e-7 -> 8.9e-8 over the 8192-QP
-        bench batch). The 48-step budget exists for the hard tail, not
+        refine_sigma = 1e-5: the corrections' proximal regularization is
+        30x smaller than the solver's sigma0 (they start from a near-KKT
+        point, so the factorization tolerates it, and rejected steps
+        auto-escalate 8x with a damping reset) — measured on v5e the
+        contraction rate improves monotonically with smaller sigma:
+        3e-4 gave 3 executed steps, 3e-5 gave 2 (residual 4.5e-7 ->
+        8.9e-8 on the 8192-QP bench batch), and 1e-5 keeps the headline
+        at 2 steps while cutting the rough-floor copoly class from 6
+        steps to 4 (+22% contract throughput there) at unchanged
+        success and contract margins everywhere measured. The 48-step budget exists for the hard tail, not
         the common case: perturbed SpacecraftRelativeMotion instances
         are budget-bound at 24 (5/128 lanes finished at 1.3e-6..7.6e-6)
         and all reach the contract by 34 steps (measured v5e, worst
@@ -214,7 +217,7 @@ class Options:
             inner_tol_min=1e-7,
             inner_stall_tol=1e-3,
             refine_steps=48,
-            refine_sigma=3e-5,
+            refine_sigma=1e-5,
             equilibrate=True,
             retry_failed=True,
         )

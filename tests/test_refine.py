@@ -195,7 +195,7 @@ def test_refine_preserves_certificates(monkeypatch):
 
 
 def test_chunked_refine_matches_global(monkeypatch):
-    """The chunked early-exit refine loop (lax.map over REFINE_CHUNK
+    """The chunked early-exit refine loop (lax.map over _refine_chunk
     lanes, round 4) must deliver the same contract as the batch-global
     loop: every lane at the f64-verified target, per-lane step counts
     reported per chunk (a hard chunk does not inflate the others')."""
@@ -211,10 +211,10 @@ def test_chunked_refine_matches_global(monkeypatch):
     data, z0, l0, v0 = build_batch(B, 10, 4, 2, 4, jnp.float32)
 
     # Global loop (chunk >= B).
-    monkeypatch.setattr(refine_mod, "REFINE_CHUNK", B)
+    monkeypatch.setattr(refine_mod, "_refine_chunk", lambda rows: B)
     xg, cg = mpc.solve_mpc_qp_batch(data, z0, l0, v0, opts)
     # Chunked loop (4 chunks of 4).
-    monkeypatch.setattr(refine_mod, "REFINE_CHUNK", 4)
+    monkeypatch.setattr(refine_mod, "_refine_chunk", lambda rows: 4)
     jax.clear_caches()
     xc, cc = mpc.solve_mpc_qp_batch(data, z0, l0, v0, opts)
 
