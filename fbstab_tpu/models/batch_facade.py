@@ -44,7 +44,8 @@ class _BatchFacadeBase:
     stats, display."""
 
     def __init__(self, options: Optional[Options], dtype, carry_warmstart,
-                 adaptive):
+                 adaptive, phase1_newton_iters=25, phase2_size=None,
+                 phase2_fallback=True):
         if options is None:
             options = (Options.single_precision()
                        if dtype == jnp.float32 else Options.default())
@@ -52,9 +53,17 @@ class _BatchFacadeBase:
         self.dtype = dtype
         self.carry_warmstart = carry_warmstart
         self.adaptive = adaptive
+        self.phase1_newton_iters = phase1_newton_iters
+        self.phase2_size = phase2_size
+        self.phase2_fallback = phase2_fallback
         self._compiled = None
         self._last: Optional[Variable] = None
         self.last_stats = None
+
+    def _adaptive_kwargs(self):
+        return dict(phase1_newton_iters=self.phase1_newton_iters,
+                    phase2_size=self.phase2_size,
+                    phase2_fallback=self.phase2_fallback)
 
     def update_options(self, options: Options) -> None:
         self._options = options.validated()
@@ -134,7 +143,21 @@ class FBstabMpcBatch(_BatchFacadeBase):
     def __init__(self, B: int, N: int, nx: int, nu: int, nc: int,
                  dtype=jnp.float32, options: Optional[Options] = None,
                  carry_warmstart: bool = True, shift_carry: bool = True,
-                 adaptive: bool = False, riccati: str = "auto"):
+                 adaptive: bool = False, riccati: str = "auto",
+                 phase1_newton_iters: int = 25,
+                 phase2_size: Optional[int] = None,
+                 phase2_fallback: bool = True):
+        """adaptive=True rides the device-side two-phase solve
+        (parallel/adaptive.py): phase 1 capped at `phase1_newton_iters`,
+        up to `phase2_size` stragglers (default B // 4) re-solved
+        compacted with a reliable-leaning full budget. With
+        `phase2_fallback` (default on) a straggler count beyond the
+        capacity triggers a runtime-skippable full-batch full-budget
+        pass, so hard batches never silently keep phase-1 budget exits;
+        turning it off trades that guarantee for a slightly smaller
+        compiled program. The headline bench sweep (phase1=16 at
+        B=8192, scratch/tpu_adaptive_sweep.py) is a per-workload tuning
+        — sweep before changing the defaults."""
         if min(B, N, nx, nu, nc) <= 0:
             raise ValueError("FBstabMpcBatch requires B,N,nx,nu,nc > 0.")
         self.B, self.N, self.nx, self.nu, self.nc = B, N, nx, nu, nc
@@ -143,7 +166,8 @@ class FBstabMpcBatch(_BatchFacadeBase):
         self.nv = (N + 1) * nc
         self.shift_carry = shift_carry
         self.riccati = riccati
-        super().__init__(options, dtype, carry_warmstart, adaptive)
+        super().__init__(options, dtype, carry_warmstart, adaptive,
+                         phase1_newton_iters, phase2_size, phase2_fallback)
 
     def _solver(self, opts: Options):
         from fbstab_tpu.models.mpc_qp import (
@@ -159,10 +183,11 @@ class FBstabMpcBatch(_BatchFacadeBase):
                 # variant's gather/scatter/refine dispatch eagerly,
                 # which through a remote-TPU tunnel costs ~27 ms per op
                 # (measured 811 QPs/s on the headline workload — a pure
-                # harness artifact). Fixed phase-2 capacity B // 4.
+                # harness artifact).
                 from fbstab_tpu.parallel.adaptive import (
                     solve_mpc_qp_batch_adaptive_device)
-                return solve_mpc_qp_batch_adaptive_device(d, z, l, v, opts)
+                return solve_mpc_qp_batch_adaptive_device(
+                    d, z, l, v, opts, **self._adaptive_kwargs())
             return solve_mpc_qp_batch(d, z, l, v, opts,
                                       riccati=self.riccati)
 
@@ -198,12 +223,17 @@ class FBstabDenseBatch(_BatchFacadeBase):
 
     def __init__(self, B: int, nz: int, nl: int, nv: int,
                  dtype=jnp.float32, options: Optional[Options] = None,
-                 carry_warmstart: bool = True, adaptive: bool = False):
+                 carry_warmstart: bool = True, adaptive: bool = False,
+                 phase1_newton_iters: int = 25,
+                 phase2_size: Optional[int] = None,
+                 phase2_fallback: bool = True):
+        """Two-phase adaptive knobs as FBstabMpcBatch."""
         if B <= 0 or nz <= 0 or nv <= 0 or nl < 0:
             raise ValueError(
                 "FBstabDenseBatch requires B, nz, nv > 0 and nl >= 0.")
         self.B, self.nz, self.nl, self.nv = B, nz, nl, nv
-        super().__init__(options, dtype, carry_warmstart, adaptive)
+        super().__init__(options, dtype, carry_warmstart, adaptive,
+                         phase1_newton_iters, phase2_size, phase2_fallback)
 
     def _solver(self, opts: Options):
         from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
@@ -214,7 +244,7 @@ class FBstabDenseBatch(_BatchFacadeBase):
                 from fbstab_tpu.parallel.adaptive import (
                     solve_dense_qp_batch_adaptive_device)
                 return solve_dense_qp_batch_adaptive_device(
-                    d, z, l, v, opts)
+                    d, z, l, v, opts, **self._adaptive_kwargs())
             return solve_dense_qp_batch(d, z, l, v, opts)
 
         return f

@@ -238,7 +238,7 @@ def _fused_dense_eligible(data: DenseQPData, dtype) -> bool:
 
 
 def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
-                         options: Options = Options()):
+                         options: Options = Options(), scaling=None):
     """Batched dense solve: every array in `data` and the guesses carry a
     leading batch dimension. Masked-lockstep semantics via vmapped
     while_loops (the reference has no batch mode; this is the TPU 'DP'
@@ -247,7 +247,13 @@ def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
 
     f32 product defaults: equilibration + mixed-precision refinement to
     the 1e-6 contract, as in solve_mpc_qp_batch (the returned solution
-    is a VariableDF double-float pair when refinement engages)."""
+    is a VariableDF double-float pair when refinement engages).
+
+    scaling: optional precomputed batched DenseScaling for `data` (from
+    vmap(ruiz_dense_scaling)) — multi-pass callers (the two-phase
+    adaptive path, receding-horizon drivers) compute it once and reuse
+    it; when engaged and not given it is computed ONCE here and shared
+    by the solve, the failure-retry pass, and the refinement loop."""
     opts = options.validated()
 
     def raw_with(o):
@@ -269,8 +275,9 @@ def solve_dense_qp_batch(data: DenseQPData, z0, l0, v0,
         ruiz_dense_scaling, scaling_engaged, solve_scaled_dense)
     # Compute the Ruiz scaling ONCE and share it across the solve, the
     # failure-retry pass, and the refinement loop.
-    scal = (jax.vmap(ruiz_dense_scaling)(data)
-            if scaling_engaged(opts, z0.dtype) else None)
+    scal = scaling
+    if scal is None and scaling_engaged(opts, z0.dtype):
+        scal = jax.vmap(ruiz_dense_scaling)(data)
     # Refinement re-reports residual/raw_residual in df-verified
     # original units at every lane (skip the f32 re-evaluation).
     will_refine = refine_engaged(opts, z0.dtype)

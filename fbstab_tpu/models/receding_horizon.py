@@ -109,7 +109,9 @@ def simulate(data: MpcQPData, T: int, options: Options = Options(),
 
 def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
                    options: Options = Options(),
-                   shift: bool = True) -> ClosedLoopResult:
+                   shift: bool = True, adaptive: bool = False,
+                   phase1_newton_iters: int = 16,
+                   phase2_size: Optional[int] = None) -> ClosedLoopResult:
     """Scenario sweep: T closed-loop steps for a batch of initial states
     over a shared plant/problem (leading axis of x0s = scenarios).
 
@@ -118,6 +120,12 @@ def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
     so on TPU the whole sweep runs on the fused Pallas solver kernel
     (BASELINE config 2's production path). Output axes match the vmapped
     form: leading axis scenarios, then time.
+
+    adaptive=True runs each control step through the device-side
+    two-phase solve (parallel/adaptive.py) with the given phase-1 budget
+    and phase-2 capacity (default B // 4) — the same tail-compaction
+    that is the cold-solve headline configuration, composed under the
+    scan with the plant Ruiz scaling still hoisted out of the loop.
     """
     from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
 
@@ -144,10 +152,23 @@ def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
     scal = (jax.vmap(ruiz_mpc_scaling)(batch)
             if scaling_engaged(opts, dtype) else None)
 
+    if adaptive:
+        from fbstab_tpu.parallel.adaptive import (
+            solve_mpc_qp_batch_adaptive_device)
+
+        def solve_step(d, gz, gl, gv):
+            return solve_mpc_qp_batch_adaptive_device(
+                d, gz, gl, gv, opts,
+                phase1_newton_iters=phase1_newton_iters,
+                phase2_size=phase2_size, scaling=scal)
+    else:
+        def solve_step(d, gz, gl, gv):
+            return solve_mpc_qp_batch(d, gz, gl, gv, opts, scaling=scal)
+
     def step(carry, _):
         xk, gz, gl, gv = carry
         d = batch._replace(x0=xk)
-        sol, core = solve_mpc_qp_batch(d, gz, gl, gv, opts, scaling=scal)
+        sol, core = solve_step(d, gz, gl, gv)
         # With refinement engaged (opts.refine_steps on f32) the solution
         # is a double-float pair; the f32 view is all the next warmstart
         # needs, while core.residual reports the refined (contract-grade)

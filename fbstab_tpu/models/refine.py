@@ -302,55 +302,66 @@ def refine_dense_batch(data, x: Variable, options: Options = Options(),
     return VariableDF(z=z, l=l, v=v, y=y), jnp.stack(history)
 
 
-def _refine_dense_loop(data, x: Variable, options: Options, good,
-                       scal=None):
-    """Dense analog of _refine_mpc_loop: data and x in loop coordinates
-    (the Ruiz-scaled problem when `scal` is given — exact pow2), early-
-    exit while_loop on the ORIGINAL-units double-float residual.
-    Returns (VariableDF in loop coords, res0, res, steps)."""
+def _dense_norms(alpha, scal, z, l, v, y, rz, rl):
+    """ORIGINAL-units penalized natural residual norm from dense
+    loop-coordinate df blocks (exact pow2 row unscalings when `scal` is
+    given; the nonlinear pfb row re-evaluated at the unscaled (y, v))."""
+    dtype = df_to(z).dtype
+    if scal is not None:
+        from fbstab_tpu.models.scaling import _df_scale
+        kc2 = scal.kc[:, None]
+        v = _df_scale(v, scal.de / kc2)
+        y = _df_scale(y, 1.0 / scal.de)
+        rz = _df_scale(rz, 1.0 / (kc2 * scal.dz))
+        rl = _df_scale(rl, 1.0 / scal.dl)
+    a = jnp.asarray(alpha, dtype)
+    nr = df_min(y, v)
+    pen = df_mul(df_max0(y), df_max0(v))
+    rv = df_add(df_mul_f(nr, a), df_mul_f(pen, 1.0 - a))
+    sq = lambda p: jnp.sum(df_to(p) ** 2, axis=-1)
+    return jnp.sqrt(sq(rz) + sq(rl) + sq(rv))
+
+
+def _dense_refine_entry(data, x: Variable, options: Options, scal=None):
+    """Loop-entry state, df KKT blocks, and ORIGINAL-units residual for
+    the dense refinement loop. Called OUTSIDE the chunked lax.map (and
+    outside any while body): XLA:CPU breaks the double-float error-free
+    transforms inside compiled loop bodies (CLAUDE.md rule 10; lax.map
+    lowers to scan), so the entry value — which is both REPORTED as
+    raw_residual and used in the final accept decision — must never be
+    computed in-map."""
+    opts = options.validated()
+    alpha = opts.alpha
+    z0, l0, v0 = df(x.z), df(x.l), df(x.v)
+    y0 = df_sub(df(data.b), df_matvec(data.A, z0))
+    blocks0 = _dense_kkt_residual_df(data, z0, l0, v0, y0, alpha)
+    res0 = _dense_norms(alpha, scal, z0, l0, v0, y0, *blocks0[:2])
+    return (z0, l0, v0, y0), blocks0, res0
+
+
+def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
+                       good, scal=None):
+    """Dense analog of _refine_mpc_loop: data and the entry state in loop
+    coordinates (the Ruiz-scaled problem when `scal` is given — exact
+    pow2), early-exit while_loop on the ORIGINAL-units double-float
+    residual. state0/blocks0/res0 come from _dense_refine_entry,
+    computed outside any compiled loop body.
+    Returns (VariableDF in loop coords, res, steps)."""
     from fbstab_tpu.models import dense_qp as _dense
 
     opts = options.validated()
-    B = x.z.shape[0]
-    dtype = x.z.dtype
+    z0, l0, v0, y0 = state0
+    B = z0[0].shape[0]
+    dtype = z0[0].dtype
     alpha = opts.alpha
     sigma = jnp.asarray(opts.refine_sigma or opts.sigma0, dtype)
     target = jnp.asarray(opts.refine_target, dtype)
 
-    z0, l0, v0 = df(x.z), df(x.l), df(x.v)
-
     def margin(z_):
         return df_sub(df(data.b), df_matvec(data.A, z_))
 
-    y0 = margin(z0)
-
-    if scal is not None:
-        kc2 = scal.kc[:, None]
-        fac_rz = 1.0 / (kc2 * scal.dz)
-        fac_rl = 1.0 / scal.dl
-        fac_y = 1.0 / scal.de
-        fac_v = scal.de / kc2
-
-    def _pnr(z, l, v, y, rz, rl):
-        a = jnp.asarray(alpha, dtype)
-        nr = df_min(y, v)
-        pen = df_mul(df_max0(y), df_max0(v))
-        rv = df_add(df_mul_f(nr, a), df_mul_f(pen, 1.0 - a))
-        sq = lambda p: jnp.sum(df_to(p) ** 2, axis=-1)
-        return jnp.sqrt(sq(rz) + sq(rl) + sq(rv))
-
     def norms(z, l, v, y, rz, rl):
-        """ORIGINAL-units penalized natural residual norm from the
-        loop-coordinate df blocks (exact pow2 row unscalings; the
-        nonlinear pfb row re-evaluated at the unscaled (y, v))."""
-        if scal is None:
-            return _pnr(z, l, v, y, rz, rl)
-        from fbstab_tpu.models.scaling import _df_scale
-        return _pnr(z, l, _df_scale(v, fac_v), _df_scale(y, fac_y),
-                    _df_scale(rz, fac_rz), _df_scale(rl, fac_rl))
-
-    blocks0 = _dense_kkt_residual_df(data, z0, l0, v0, y0, alpha)
-    res0 = norms(z0, l0, v0, y0, *blocks0[:2])
+        return _dense_norms(alpha, scal, z, l, v, y, rz, rl)
 
     def newton(zh, lh, vh, yh, rz, rl, rv, sig):
         def one(d, zz, ll, vv, yy, rz_, rl_, rv_, sg):
@@ -396,13 +407,12 @@ def _refine_dense_loop(data, x: Variable, options: Options, good,
         pending = jnp.max(jnp.where(live, res_best, 0.0))
         return (i < opts.refine_steps) & (pending > target)
 
-    state0 = (z0, l0, v0, y0)
     sig0 = jnp.full((B,), sigma, dtype)
     ones = jnp.ones((B,), dtype)
     (z, l, v, y), _, res, _, _, _, steps = jax.lax.while_loop(
         cond, body, (state0, blocks0, res0, good, ones, sig0,
                      jnp.int32(0)))
-    return VariableDF(z=z, l=l, v=v, y=y), res0, res, steps
+    return VariableDF(z=z, l=l, v=v, y=y), res, steps
 
 
 # ------------------------------------------------------------------
@@ -473,31 +483,77 @@ def refine_engaged(options: Options, dtype) -> bool:
     return options.refine_steps > 0 and dtype == jnp.float32
 
 
-def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
-                     good, scal=None):
-    """Early-exit refinement loop (see block comment above).
+def _mpc_norms(alpha, scal, zx, zu, l, v, y, rzx, rzu, rl):
+    """ORIGINAL-units penalized natural residual norm from the MPC
+    loop-coordinate df blocks (full_residual.cc:99-109). The rz/rl rows
+    unscale diagonally (exact pow2 when `scal` is given); the nonlinear
+    rv row is re-evaluated at the exactly-unscaled (y, v)."""
+    dtype = df_to(zx).dtype
+    if scal is not None:
+        from fbstab_tpu.models.scaling import _df_scale
+        kc3 = scal.kc[:, None, None]
+        v = _df_scale(v, scal.de / kc3)       # v = de*v'/kc
+        y = _df_scale(y, 1.0 / scal.de)       # y = y'/de
+        rzx = _df_scale(rzx, 1.0 / (kc3 * scal.dx))  # rz rows: kc*Dz
+        rzu = _df_scale(rzu, 1.0 / (kc3 * scal.du))
+        rl = _df_scale(rl, scal.dx)           # rl rows: Dx^{-1}
+    a = jnp.asarray(alpha, dtype)
+    nr = df_min(y, v)
+    pen = df_mul(df_max0(y), df_max0(v))
+    rv = df_add(df_mul_f(nr, a), df_mul_f(pen, 1.0 - a))
+    sq = lambda p: jnp.sum(df_to(p) ** 2, axis=(1, 2))
+    return jnp.sqrt(sq(rzx) + sq(rzu) + sq(rl) + sq(rv))
 
-    data and x are in the LOOP's own coordinates: the Ruiz-scaled
-    problem when `scal` (a batched MpcScaling) is given — an EXACT
-    power-of-two transform, so the fixed point is the original problem's
-    solution. The early-exit norm is evaluated in ORIGINAL units via the
-    exact row unscalings. good: (B,) lanes to drive to target.
-    Returns (VariableDF in loop coords, res0, res, steps), residuals in
-    original units."""
+
+def _mpc_refine_entry(data: MpcQPData, x: Variable, options: Options,
+                      scal=None):
+    """Loop-entry state, df KKT blocks, and ORIGINAL-units residual for
+    the MPC refinement loop. Called OUTSIDE the chunked lax.map (and
+    outside any while body): XLA:CPU breaks the double-float error-free
+    transforms inside compiled loop bodies (CLAUDE.md rule 10; lax.map
+    lowers to scan), so the entry value — which is both REPORTED as
+    raw_residual and used in the final accept decision — must never be
+    computed in-map."""
     opts = options.validated()
     N, nx, nu, nc = mpc_dims(data)
     N1 = N + 1
     B = x.z.shape[0]
-    dtype = x.z.dtype
     alpha = opts.alpha
-    sigma = jnp.asarray(opts.refine_sigma or opts.sigma0, dtype)
-    target = jnp.asarray(opts.refine_target, dtype)
-
     zs = x.z.reshape(B, N1, nx + nu)
     zx0 = df(zs[:, :, :nx])
     zu0 = df(zs[:, :, nx:])
     l0 = df(_stages(x.l, N1, nx))
     v0 = df(_stages(x.v, N1, nc))
+    bvec = df(-data.d)
+    y0 = df_sub(bvec, df_add(df_matvec(data.E, zx0),
+                             df_matvec(data.L, zu0)))
+    blocks0 = _mpc_kkt_residual_df(data, zx0, zu0, l0, v0, y0, alpha)
+    res0 = _mpc_norms(alpha, scal, zx0, zu0, l0, v0, y0, *blocks0[:3])
+    return (zx0, zu0, l0, v0, y0), blocks0, res0
+
+
+def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
+                     options: Options, good, scal=None):
+    """Early-exit refinement loop (see block comment above).
+
+    data and the entry state are in the LOOP's own coordinates: the
+    Ruiz-scaled problem when `scal` (a batched MpcScaling) is given — an
+    EXACT power-of-two transform, so the fixed point is the original
+    problem's solution. The early-exit norm is evaluated in ORIGINAL
+    units via the exact row unscalings. state0/blocks0/res0 come from
+    _mpc_refine_entry, computed outside any compiled loop body.
+    good: (B,) lanes to drive to target.
+    Returns (VariableDF in loop coords, res, steps), residuals in
+    original units."""
+    opts = options.validated()
+    N, nx, nu, nc = mpc_dims(data)
+    N1 = N + 1
+    zx0, zu0, l0, v0, y0 = state0
+    B = zx0[0].shape[0]
+    dtype = zx0[0].dtype
+    alpha = opts.alpha
+    sigma = jnp.asarray(opts.refine_sigma or opts.sigma0, dtype)
+    target = jnp.asarray(opts.refine_target, dtype)
 
     bvec = df(-data.d)
 
@@ -505,39 +561,8 @@ def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
         az = df_add(df_matvec(data.E, zx_), df_matvec(data.L, zu_))
         return df_sub(bvec, az)
 
-    y0 = margin(zx0, zu0)
-
-    if scal is not None:
-        kc3 = scal.kc[:, None, None]
-        fac_rzx = 1.0 / (kc3 * scal.dx)       # rz rows scale by kc*Dz
-        fac_rzu = 1.0 / (kc3 * scal.du)
-        fac_rl = scal.dx                      # rl rows scale by Dx^{-1}
-        fac_y = 1.0 / scal.de                 # y = y'/de
-        fac_v = scal.de / kc3                 # v = de*v'/kc
-
-    def _pnr(zx, zu, l, v, y, rzx, rzu, rl):
-        a = jnp.asarray(alpha, dtype)
-        nr = df_min(y, v)
-        pen = df_mul(df_max0(y), df_max0(v))
-        rv = df_add(df_mul_f(nr, a), df_mul_f(pen, 1.0 - a))
-        sq = lambda p: jnp.sum(df_to(p) ** 2, axis=(1, 2))
-        return jnp.sqrt(sq(rzx) + sq(rzu) + sq(rl) + sq(rv))
-
     def norms(zx, zu, l, v, y, rzx, rzu, rl):
-        """ORIGINAL-units penalized natural residual norm from the
-        loop-coordinate df blocks (full_residual.cc:99-109). The rz/rl
-        rows unscale diagonally (exact pow2); the nonlinear rv row is
-        re-evaluated at the exactly-unscaled (y, v)."""
-        if scal is None:
-            return _pnr(zx, zu, l, v, y, rzx, rzu, rl)
-        from fbstab_tpu.models.scaling import _df_scale
-        return _pnr(
-            zx, zu, l, _df_scale(v, fac_v), _df_scale(y, fac_y),
-            _df_scale(rzx, fac_rzx), _df_scale(rzu, fac_rzu),
-            _df_scale(rl, fac_rl))
-
-    blocks0 = _mpc_kkt_residual_df(data, zx0, zu0, l0, v0, y0, alpha)
-    res0 = norms(zx0, zu0, l0, v0, y0, *blocks0[:3])
+        return _mpc_norms(alpha, scal, zx, zu, l, v, y, rzx, rzu, rl)
 
     data_t = (_mpc.with_transposed(data)
               if not isinstance(data, _mpc.MpcQPDataT) else data)
@@ -614,18 +639,18 @@ def _refine_mpc_loop(data: MpcQPData, x: Variable, options: Options,
         pending = jnp.max(jnp.where(live, res_best, 0.0))
         return (i < opts.refine_steps) & (pending > target)
 
-    state0 = (zx0, zu0, l0, v0, y0)
     sig0 = jnp.full((B,), sigma, dtype)
     ones = jnp.ones((B,), dtype)
     (zx, zu, l, v, y), _, res, _, _, _, steps = jax.lax.while_loop(
         cond, body,
         (state0, blocks0, res0, good, ones, sig0, jnp.int32(0)))
 
+    zshape = (B, N1 * (nx + nu))
     refined = VariableDF(
-        z=(jnp.concatenate([zx[0], zu[0]], axis=2).reshape(x.z.shape),
-           jnp.concatenate([zx[1], zu[1]], axis=2).reshape(x.z.shape)),
+        z=(jnp.concatenate([zx[0], zu[0]], axis=2).reshape(zshape),
+           jnp.concatenate([zx[1], zu[1]], axis=2).reshape(zshape)),
         l=_flat(l, N1 * nx), v=_flat(v, N1 * nc), y=_flat(y, N1 * nc))
-    return refined, res0, res, steps
+    return refined, res, steps
 
 
 def _splice_df(refined: VariableDF, x: Variable, good) -> VariableDF:
@@ -681,21 +706,24 @@ def _refine_chunk(rows: int | None) -> int:
 def _chunked_refine(loop_fn, B, args, rows=None):
     """Maps `loop_fn` (one of the _refine_*_loop functions, already
     closed over options/scal-handling) over fixed-size chunks of
-    the batch. args: pytrees with leading batch axis B. rows: per-lane
-    state rows for the chunk-size policy (None = dense). Returns the
-    loop outputs with per-lane (B,) step counts. Falls back to one
-    global call when the batch does not split evenly."""
+    the batch. args: pytrees with leading batch axis B — including the
+    precomputed entry state/blocks/res0 from _*_refine_entry, so no
+    double-float entry evaluation ever runs inside the map body
+    (CLAUDE.md rule 10). rows: per-lane state rows for the chunk-size
+    policy (None = dense). Returns the loop outputs with per-lane (B,)
+    step counts. Falls back to one global call when the batch does not
+    split evenly."""
     ck = _refine_chunk(rows)
     if B <= ck or B % ck != 0:
-        refined, res0, res, steps = loop_fn(args)
-        return refined, res0, res, jnp.full((B,), steps, jnp.int32)
+        refined, res, steps = loop_fn(args)
+        return refined, res, jnp.full((B,), steps, jnp.int32)
     C = B // ck
     resh = lambda t: jax.tree.map(
         lambda a: a.reshape((C, ck) + a.shape[1:]), t)
-    refined, res0, res, steps = jax.lax.map(loop_fn, resh(args))
+    refined, res, steps = jax.lax.map(loop_fn, resh(args))
     flat = lambda t: jax.tree.map(
         lambda a: a.reshape((B,) + a.shape[2:]), t)
-    return (flat(refined), res0.reshape(B), res.reshape(B),
+    return (flat(refined), res.reshape(B),
             jnp.repeat(steps, ck, total_repeat_length=B))
 
 
@@ -740,6 +768,18 @@ def refine_solution_mpc(data, x: Variable, core, options: Options,
             if isinstance(data, _mpc.MpcQPDataT) else data)
     good = core.eflag == int(ExitFlag.SUCCESS)
     B = x.z.shape[0]
+    N, nx, nu, nc = mpc_dims(base)
+    rows = (N + 1) * (nx + nu + nx + 2 * nc)
+    # The entry evaluation (state + blocks + res0) runs HERE, outside
+    # the chunked lax.map and outside any while body, where df
+    # arithmetic compiles exactly on every backend (measured: XLA:CPU
+    # breaks the error-free transforms only INSIDE compiled loop bodies
+    # — the in-body norm underreports ~3x at the servo stall level, and
+    # the monotone best-picker then selects noise-flattered values).
+    # res0 is both REPORTED (raw_residual; residual for non-improved
+    # lanes) and used in the accept decision, so it must be loop-clean;
+    # the REPORTED refined residual is likewise a fresh loop-independent
+    # evaluation at the returned point.
     if opts.equilibrate:
         from fbstab_tpu.models.scaling import (
             apply_mpc_scaling, ruiz_mpc_scaling, scale_mpc_variable,
@@ -748,26 +788,18 @@ def refine_solution_mpc(data, x: Variable, core, options: Options,
             scal = jax.vmap(ruiz_mpc_scaling)(base)
         sdata = jax.vmap(apply_mpc_scaling)(base, scal)
         xs = scale_mpc_variable(x, scal)        # exact (pow2 diagonals)
-        N, nx, nu, nc = mpc_dims(base)
-        rows = (N + 1) * (nx + nu + nx + 2 * nc)
-        refined_s, res0, res, steps = _chunked_refine(
-            lambda a: _refine_mpc_loop(a[0], a[1], opts, a[2], a[3]),
-            B, (sdata, xs, good, scal), rows=rows)
+        state0, blocks0, res0 = _mpc_refine_entry(sdata, xs, opts, scal)
+        refined_s, res, steps = _chunked_refine(
+            lambda a: _refine_mpc_loop(a[0], a[1], a[2], a[3], opts,
+                                       a[4], a[5]),
+            B, (sdata, state0, blocks0, res0, good, scal), rows=rows)
         refined = unscale_mpc_variable_df(refined_s, scal)
     else:
-        N, nx, nu, nc = mpc_dims(base)
-        rows = (N + 1) * (nx + nu + nx + 2 * nc)
-        refined, res0, res, steps = _chunked_refine(
-            lambda a: _refine_mpc_loop(a[0], a[1], opts, a[2]),
-            B, (base, x, good), rows=rows)
-    # res0 comes from the loop's ENTRY evaluation — outside the while
-    # body, where df arithmetic compiles exactly (measured: XLA:CPU
-    # breaks the error-free transforms only INSIDE while bodies — the
-    # in-body norm underreports ~3x at the servo stall level, and the
-    # monotone best-picker then selects noise-flattered values). The
-    # REPORTED refined residual therefore stays a fresh loop-independent
-    # evaluation at the returned point; only the duplicate res0 pass and
-    # the f32 rewrite were dead work.
+        state0, blocks0, res0 = _mpc_refine_entry(base, x, opts)
+        refined, res, steps = _chunked_refine(
+            lambda a: _refine_mpc_loop(a[0], a[1], a[2], a[3], opts,
+                                       a[4]),
+            B, (base, state0, blocks0, res0, good), rows=rows)
     res = _pnr_df_at_mpc(base, refined, opts.alpha)
     return _finish_refine(refined, x, core, good, res0, res, steps)
 
@@ -778,6 +810,8 @@ def refine_solution_dense(data, x: Variable, core, options: Options,
     opts = options.validated()
     good = core.eflag == int(ExitFlag.SUCCESS)
     B = x.z.shape[0]
+    # Entry evaluation outside the chunked map — see refine_solution_mpc
+    # on while-body/in-map df drift.
     if opts.equilibrate:
         from fbstab_tpu.models.scaling import (
             apply_dense_scaling, ruiz_dense_scaling, scale_dense_variable,
@@ -786,17 +820,18 @@ def refine_solution_dense(data, x: Variable, core, options: Options,
             scal = jax.vmap(ruiz_dense_scaling)(data)
         sdata = jax.vmap(apply_dense_scaling)(data, scal)
         xs = scale_dense_variable(x, scal)
-        refined_s, res0, res, steps = _chunked_refine(
-            lambda a: _refine_dense_loop(a[0], a[1], opts, a[2], a[3]),
-            B, (sdata, xs, good, scal))
+        state0, blocks0, res0 = _dense_refine_entry(sdata, xs, opts, scal)
+        refined_s, res, steps = _chunked_refine(
+            lambda a: _refine_dense_loop(a[0], a[1], a[2], a[3], opts,
+                                         a[4], a[5]),
+            B, (sdata, state0, blocks0, res0, good, scal))
         refined = unscale_dense_variable_df(refined_s, scal)
     else:
-        refined, res0, res, steps = _chunked_refine(
-            lambda a: _refine_dense_loop(a[0], a[1], opts, a[2]),
-            B, (data, x, good))
-    # res0 reused from the loop's entry evaluation; the reported value
-    # stays a fresh loop-independent evaluation (see
-    # refine_solution_mpc on while-body df drift).
+        state0, blocks0, res0 = _dense_refine_entry(data, x, opts)
+        refined, res, steps = _chunked_refine(
+            lambda a: _refine_dense_loop(a[0], a[1], a[2], a[3], opts,
+                                         a[4]),
+            B, (data, state0, blocks0, res0, good))
     res = _pnr_df_at_dense(data, refined, opts.alpha)
     return _finish_refine(refined, x, core, good, res0, res, steps)
 

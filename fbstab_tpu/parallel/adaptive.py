@@ -148,7 +148,10 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
                                 options: Options,
                                 phase1_newton_iters: int = 25,
                                 phase2_size: int | None = None,
-                                phase2_options: Optional[Options] = None):
+                                phase2_options: Optional[Options] = None,
+                                make_scaling=None,
+                                phase2_fallback: bool = True,
+                                scaling=None):
     """Fully JITTABLE two-phase adaptive solve: fixed shapes, no host
     sync — composable with shard_map / pjit (VERDICT r2 item 6; the host
     version above cannot run inside the flagship multi-chip path).
@@ -156,10 +159,25 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
     Phase 1 runs with a small Newton budget; up to `phase2_size`
     stragglers (default B // 4) are compacted ON DEVICE into a
     fixed-shape phase-2 batch, re-solved warmstarted with a
-    reliable-leaning profile, and scattered back. Stragglers beyond
-    phase2_size keep their phase-1 (budget-exit) results — size the cap
-    for the expected tail. Mixed-precision refinement is deferred to
-    after the merge (refine_fn), as in the host version.
+    reliable-leaning profile, and scattered back. When the straggler
+    count EXCEEDS phase2_size and `phase2_fallback` is on, a
+    lax.cond-guarded full-batch full-budget pass re-solves from the
+    merged iterates (converged lanes re-enter at their solution and
+    exit immediately) — the common under-capacity batch skips it at
+    runtime for ~ the cost of the skipped failure-retry pass. With the
+    fallback off, overflow lanes keep their phase-1 (budget-exit,
+    eflag=MAXITERATIONS) results — size the cap for the expected tail.
+    Mixed-precision refinement is deferred to after the merge
+    (refine_fn), as in the host version.
+
+    make_scaling: optional per-instance Ruiz constructor
+    (ruiz_mpc_scaling / ruiz_dense_scaling). When given and scaling is
+    engaged, the equilibration is computed ONCE here and threaded
+    through phase 1, the phase-2 gather, the fallback, and the
+    refinement — instead of each pass re-running its own Ruiz sweep
+    (the class wrappers pass it; measured round 5). `scaling` passes a
+    precomputed batched scaling directly (receding-horizon drivers
+    compute it once per plant, outside their control-step scan).
     """
     opts = options.validated()
     opts1 = dataclasses.replace(
@@ -168,7 +186,22 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
              else reliable_leaning(opts))
     opts2 = dataclasses.replace(opts2, refine_steps=0)
 
-    x1, core1 = solve_batch(data, z0, l0, v0, opts1)
+    # Strip batch-last transposed copies before gathering (the phase-2
+    # dispatch rebuilds its own, once).
+    from fbstab_tpu.models.mpc_qp import MpcQPData, MpcQPDataT
+    base = data
+    if isinstance(data, MpcQPDataT):
+        base = MpcQPData(
+            **{f: getattr(data, f) for f in MpcQPData._fields})
+
+    from fbstab_tpu.models.scaling import scaling_engaged
+    scal = scaling
+    if scal is None and make_scaling is not None \
+            and scaling_engaged(opts, z0.dtype):
+        scal = jax.vmap(make_scaling)(base)
+    skw = {} if scal is None else {"scaling": scal}
+
+    x1, core1 = solve_batch(data, z0, l0, v0, opts1, **skw)
     retry = ((core1.eflag == int(ExitFlag.MAXITERATIONS))
              | (core1.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)))
     B = core1.eflag.shape[0]
@@ -178,17 +211,11 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
     idx = jnp.nonzero(retry, size=P, fill_value=0)[0]
     valid = jnp.arange(P) < count
 
-    # Strip batch-last transposed copies before gathering (the phase-2
-    # dispatch rebuilds its own, once).
-    from fbstab_tpu.models.mpc_qp import MpcQPData, MpcQPDataT
-    base = data
-    if isinstance(data, MpcQPDataT):
-        base = MpcQPData(
-            **{f: getattr(data, f) for f in MpcQPData._fields})
     take = lambda tree: jax.tree.map(lambda a: a[idx], tree)
     sub = take(base)
     sx = take(x1)
-    x2, core2 = solve_batch(sub, sx.z, sx.l, sx.v, opts2)
+    skw2 = {} if scal is None else {"scaling": take(scal)}
+    x2, core2 = solve_batch(sub, sx.z, sx.l, sx.v, opts2, **skw2)
 
     # Scatter back: invalid (padding) rows are dropped via an
     # out-of-bounds index, so nothing aliases lane 0.
@@ -205,9 +232,38 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
             core1.prox_iters[idx], mode="drop"),
         initial_residual=core1.initial_residual)
 
+    if phase2_fallback:
+        # Capacity-overflow fallback: stragglers beyond phase2_size kept
+        # their phase-1 MAXITERATIONS result above; a one-shot caller
+        # would have solved them. Re-solve the FULL batch with the full
+        # phase-2 budget, warmstarted from the merged iterates (solved
+        # lanes exit immediately), and keep the new result on lanes
+        # still flagged for retry. lax.cond skips the pass at runtime
+        # whenever the straggler count fit the capacity.
+        def _fallback(_):
+            xf, coref = solve_batch(base, x.z, x.l, x.v, opts2, **skw)
+            still = ((core.eflag == int(ExitFlag.MAXITERATIONS))
+                     | (core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)))
+            pick = lambda a, b: jnp.where(
+                still.reshape((B,) + (1,) * (jnp.ndim(a) - 1)), a, b) \
+                if jnp.ndim(a) else jnp.maximum(a, b)
+            xm = jax.tree.map(pick, xf, x)
+            cm = jax.tree.map(pick, coref, core)
+            return xm, cm._replace(
+                newton_iters=jnp.where(
+                    still, core.newton_iters + coref.newton_iters,
+                    cm.newton_iters),
+                prox_iters=jnp.where(
+                    still, core.prox_iters + coref.prox_iters,
+                    cm.prox_iters),
+                initial_residual=core.initial_residual)
+
+        x, core = jax.lax.cond(count > P, _fallback,
+                               lambda _: (x, core), None)
+
     from fbstab_tpu.models.refine import refine_engaged
     if refine_fn is not None and refine_engaged(opts, z0.dtype):
-        return refine_fn(base, x, core, opts)
+        return refine_fn(base, x, core, opts, scal=scal)
     return x, core
 
 
@@ -216,7 +272,9 @@ def solve_mpc_qp_batch_adaptive_device(data, z0, l0, v0, options: Options,
     """Device-side (jittable, shard_map-safe) adaptive MPC batch solve."""
     from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
     from fbstab_tpu.models.refine import refine_solution_mpc
+    from fbstab_tpu.models.scaling import ruiz_mpc_scaling
 
+    kwargs.setdefault("make_scaling", ruiz_mpc_scaling)
     return solve_batch_adaptive_device(
         solve_mpc_qp_batch, refine_solution_mpc, data, z0, l0, v0,
         options, **kwargs)
@@ -239,7 +297,9 @@ def solve_dense_qp_batch_adaptive_device(data, z0, l0, v0,
     solve."""
     from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
     from fbstab_tpu.models.refine import refine_solution_dense
+    from fbstab_tpu.models.scaling import ruiz_dense_scaling
 
+    kwargs.setdefault("make_scaling", ruiz_dense_scaling)
     return solve_batch_adaptive_device(
         solve_dense_qp_batch, refine_solution_dense, data, z0, l0, v0,
         options, **kwargs)

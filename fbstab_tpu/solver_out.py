@@ -41,6 +41,16 @@ class SolverOut(NamedTuple):
     an f32 solve), `residual` is the double-float-verified penalized natural
     residual at the refined solution and `raw_residual` keeps the solver's
     own (f32-floored) value; otherwise the two are equal.
+
+    Non-SUCCESS lanes under refinement: the returned point passes through
+    untouched (an infeasibility exit returns a CERTIFICATE, not a
+    solution, fbstab_algorithm-impl.h:209), and both `residual` and
+    `raw_residual` report the double-float penalized-natural-residual
+    evaluated AT that returned point in original units — for a
+    certificate lane this is a point diagnostic, not a convergence
+    measure (it will be large; judge those lanes by `eflag`, as the
+    reference does). The solver's internal residual is in equilibrated
+    units when Options.equilibrate is on and is not reported.
     """
 
     eflag: jnp.ndarray           # int32, ExitFlag value

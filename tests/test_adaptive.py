@@ -165,3 +165,49 @@ def test_device_adaptive_under_sharded_mesh():
                                    Options(abs_tol=1e-8))
     np.testing.assert_allclose(np.asarray(x.z), np.asarray(x1.z),
                                atol=1e-6)
+
+
+def test_device_adaptive_overflow_fallback():
+    """Straggler counts beyond phase2_size (ADVICE r4 item 2): with the
+    fallback pass (default) every lane still converges and matches the
+    one-shot solve; with it off, overflow lanes keep their phase-1
+    budget exit — the documented trade."""
+    from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
+    from fbstab_tpu.parallel.adaptive import solve_batch_adaptive_device
+
+    B, n, q = 16, 8, 12
+    data, z0, l0, v0 = _dense_batch(B, n, q)
+    opts = Options(abs_tol=1e-8)
+    kw = dict(phase1_newton_iters=2, phase2_size=2)
+
+    x, core = jax.jit(lambda d, z, l, v: solve_batch_adaptive_device(
+        solve_dense_qp_batch, None, d, z, l, v, opts, **kw))(
+        data, z0, l0, v0)
+    assert (np.asarray(core.eflag) == ExitFlag.SUCCESS).all()
+    x1, _ = dense.solve_dense_qp_batch(data, z0, l0, v0, opts)
+    np.testing.assert_allclose(np.asarray(x.z), np.asarray(x1.z),
+                               atol=1e-6)
+
+    _, core2 = jax.jit(lambda d, z, l, v: solve_batch_adaptive_device(
+        solve_dense_qp_batch, None, d, z, l, v, opts,
+        phase2_fallback=False, **kw))(data, z0, l0, v0)
+    ef = np.asarray(core2.eflag)
+    assert (ef == ExitFlag.MAXITERATIONS).any()
+
+
+def test_facade_adaptive_knobs_plumbed():
+    """The batch facades expose the two-phase knobs (ADVICE r4 item 2):
+    tiny phase-1 budget + small capacity still converges everywhere via
+    the fallback pass."""
+    from fbstab_tpu.models.batch_facade import FBstabDenseBatch
+
+    B, n, q = 8, 6, 8
+    data, z0, l0, v0 = _dense_batch(B, n, q)
+    solver = FBstabDenseBatch(B, n, 0, q, dtype=data.H.dtype,
+                              options=Options(abs_tol=1e-8),
+                              adaptive=True, phase1_newton_iters=3,
+                              phase2_size=2)
+    assert solver.phase1_newton_iters == 3
+    assert solver.phase2_size == 2
+    x, out, stats = solver.solve(data)
+    assert int(stats.num_success) == B

@@ -109,3 +109,14 @@ def test_perf_model_two_phase_compaction():
     # phase1: 16 tiles x min(40, 16) + phase2: one tile x (40 - 16)
     assert two["lockstep_tile_iters"] == 16 * 16 + 24
     assert two["issue_bound_s"] < one["issue_bound_s"]
+
+
+def test_plant_contract_gate_requires_perturbed_lanes():
+    """contract_met gating (round-5 VERDICT item 4): a single perturbed
+    lane above 1e-6 must flip the per-plant gate, not just a nominal
+    regression."""
+    assert bench.plant_contract_ok(True, 5e-7, 1.0, True)
+    assert not bench.plant_contract_ok(True, 5e-7, 0.992, True)
+    assert not bench.plant_contract_ok(True, 2e-6, 1.0, True)
+    assert not bench.plant_contract_ok(False, 5e-7, 1.0, True)
+    assert not bench.plant_contract_ok(True, 5e-7, 0.0, False)

@@ -231,3 +231,34 @@ def test_chunked_refine_matches_global(monkeypatch):
     steps = np.asarray(cc.refine_steps).reshape(4, 4)
     assert np.all(steps == steps[:, :1])
     assert np.all(steps >= 1)
+
+
+def test_chunked_raw_residual_matches_host_f64(monkeypatch):
+    """res0 — reported as raw_residual (and as residual on non-improved
+    lanes) and used in the final accept decision — must be evaluated
+    OUTSIDE the chunked lax.map: XLA:CPU breaks the double-float
+    error-free transforms inside compiled loop bodies (CLAUDE.md rule
+    10; lax.map lowers to scan). With the round-5 entry hoist the value
+    matches host-f64 truth at the raw point even when chunking engages
+    (ADVICE r4 item 1: CPU tests previously only hit the global
+    fallback, B below the chunk size)."""
+    import fbstab_tpu.models.refine as refine_mod
+
+    monkeypatch.setattr(mpc, "PALLAS_MODE", "off")
+    jax.clear_caches()
+    mpc._make_fused_step.cache_clear()
+
+    B = 16
+    opts = Options.single_precision()
+    data, z0, l0, v0 = build_batch(B, 10, 4, 2, 4, jnp.float32)
+    # The raw point: refine_steps=0 returns the identical pre-refine x.
+    x_raw, _ = mpc.solve_mpc_qp_batch(
+        data, z0, l0, v0, dataclasses.replace(opts, refine_steps=0))
+    truth = _f64_pnr(data, x_raw, opts.alpha)
+
+    monkeypatch.setattr(refine_mod, "_refine_chunk", lambda rows: 4)
+    jax.clear_caches()
+    _, core = mpc.solve_mpc_qp_batch(data, z0, l0, v0, opts)
+    np.testing.assert_allclose(
+        np.asarray(core.raw_residual, np.float64), truth,
+        rtol=1e-2, atol=1e-9)
