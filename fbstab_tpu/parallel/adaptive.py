@@ -144,6 +144,138 @@ def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
     return finish(x, core)
 
 
+def _stage_options(opts: Options, budget: int | None,
+                   profile: str) -> Options:
+    """Options for one schedule stage: 'same' keeps the caller's profile
+    (with the stage Newton budget), 'reliable' applies the
+    reliable-leaning robustness levers. Refinement is always deferred to
+    after the merge."""
+    if profile == "reliable":
+        o = reliable_leaning(opts)
+    elif profile == "same":
+        o = opts
+    elif isinstance(profile, Options):
+        o = profile.validated()
+    else:
+        raise ValueError(f"stage profile must be 'same', 'reliable' or "
+                         f"an Options instance, got {profile!r}")
+    if budget is not None:
+        o = dataclasses.replace(o, max_newton_iters=budget)
+    return dataclasses.replace(o, refine_steps=0)
+
+
+def solve_batch_adaptive_schedule(solve_batch, refine_fn, data, z0, l0,
+                                  v0, options: Options, stages,
+                                  make_scaling=None, scaling=None,
+                                  fallback: bool = True):
+    """N-stage device-side adaptive solve (fixed shapes, fully jittable).
+
+    stages: list of (newton_budget, capacity, profile). Stage 0 runs the
+    FULL batch (capacity ignored); each later stage gathers up to
+    `capacity` unconverged lanes (eflag MAXITERATIONS or
+    LINEAR_SOLVER_FAILED), re-solves them warmstarted from their current
+    iterate under the stage profile ('same' = the caller's options with
+    the stage budget; 'reliable' = reliable_leaning), and scatters the
+    results back. budget=None means the profile's own max_newton_iters.
+
+    Why more than two stages pays (measured round 5, v5e segment
+    timing): the compacted re-solve is nearly free relative to the
+    full-batch lockstep pass (1.9 ms at P=2048 vs 233 ms at B=8192), so
+    an early low-budget stage that lets the p50 lanes exit and compacts
+    the rest wins whenever the Newton-iteration distribution has any
+    spread. With `fallback` (default), a straggler count exceeding the
+    LAST stage's capacity triggers a lax.cond-guarded full-batch
+    reliable full-budget pass (runtime-skipped otherwise).
+
+    make_scaling / scaling: as solve_batch_adaptive_device — the Ruiz
+    equilibration is computed once and threaded through every stage,
+    the fallback, and the refinement.
+    """
+    opts = options.validated()
+
+    from fbstab_tpu.models.mpc_qp import MpcQPData, MpcQPDataT
+    base = data
+    if isinstance(data, MpcQPDataT):
+        base = MpcQPData(
+            **{f: getattr(data, f) for f in MpcQPData._fields})
+
+    from fbstab_tpu.models.scaling import scaling_engaged
+    scal = scaling
+    if scal is None and make_scaling is not None \
+            and scaling_engaged(opts, z0.dtype):
+        scal = jax.vmap(make_scaling)(base)
+    skw = {} if scal is None else {"scaling": scal}
+
+    b0, _, prof0 = stages[0]
+    x, core = solve_batch(data, z0, l0, v0,
+                          _stage_options(opts, b0, prof0), **skw)
+    B = core.eflag.shape[0]
+    initial_residual = core.initial_residual
+
+    def retry_mask(c):
+        return ((c.eflag == int(ExitFlag.MAXITERATIONS))
+                | (c.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)))
+
+    count = None
+    cap_last = None
+    for budget, cap, prof in stages[1:]:
+        o = _stage_options(opts, budget, prof)
+        retry = retry_mask(core)
+        count = jnp.sum(retry)
+        P = min(cap, B)
+        cap_last = P
+        idx = jnp.nonzero(retry, size=P, fill_value=0)[0]
+        valid = jnp.arange(P) < count
+        take = lambda tree: jax.tree.map(lambda a: a[idx], tree)
+        sub = take(base)
+        sx = take(x)
+        skw_s = {} if scal is None else {"scaling": take(scal)}
+        xs, cs = solve_batch(sub, sx.z, sx.l, sx.v, o, **skw_s)
+        # Scatter back; padding rows dropped via an out-of-bounds index.
+        idx_safe = jnp.where(valid, idx, B)
+        upd = lambda a, b: (jnp.maximum(a, b) if jnp.ndim(a) == 0
+                            else a.at[idx_safe].set(b, mode="drop"))
+        prev_n = core.newton_iters
+        prev_p = core.prox_iters
+        x = jax.tree.map(upd, x, xs)
+        core = jax.tree.map(upd, core, cs)
+        core = core._replace(
+            newton_iters=core.newton_iters.at[idx_safe].add(
+                prev_n[idx], mode="drop"),
+            prox_iters=core.prox_iters.at[idx_safe].add(
+                prev_p[idx], mode="drop"),
+            initial_residual=initial_residual)
+
+    if fallback and count is not None:
+        # Capacity-overflow fallback: see solve_batch_adaptive_device.
+        o_fb = _stage_options(opts, None, "reliable")
+
+        def _fallback(_):
+            xf, coref = solve_batch(base, x.z, x.l, x.v, o_fb, **skw)
+            still = retry_mask(core)
+            pick = lambda a, b: jnp.where(
+                still.reshape((B,) + (1,) * (jnp.ndim(a) - 1)), a, b) \
+                if jnp.ndim(a) else jnp.maximum(a, b)
+            xm = jax.tree.map(pick, xf, x)
+            cm = jax.tree.map(pick, coref, core)
+            return xm, cm._replace(
+                newton_iters=jnp.where(
+                    still, core.newton_iters + coref.newton_iters,
+                    cm.newton_iters),
+                prox_iters=jnp.where(
+                    still, core.prox_iters + coref.prox_iters,
+                    cm.prox_iters),
+                initial_residual=initial_residual)
+
+        x, core = jax.lax.cond(count > cap_last, _fallback,
+                               lambda _: (x, core), None)
+
+    from fbstab_tpu.models.refine import refine_engaged
+    if refine_fn is not None and refine_engaged(opts, z0.dtype):
+        return refine_fn(base, x, core, opts, scal=scal)
+    return x, core
+
+
 def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
                                 options: Options,
                                 phase1_newton_iters: int = 25,
@@ -179,92 +311,14 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
     precomputed batched scaling directly (receding-horizon drivers
     compute it once per plant, outside their control-step scan).
     """
-    opts = options.validated()
-    opts1 = dataclasses.replace(
-        opts, max_newton_iters=phase1_newton_iters, refine_steps=0)
-    opts2 = (phase2_options.validated() if phase2_options is not None
-             else reliable_leaning(opts))
-    opts2 = dataclasses.replace(opts2, refine_steps=0)
-
-    # Strip batch-last transposed copies before gathering (the phase-2
-    # dispatch rebuilds its own, once).
-    from fbstab_tpu.models.mpc_qp import MpcQPData, MpcQPDataT
-    base = data
-    if isinstance(data, MpcQPDataT):
-        base = MpcQPData(
-            **{f: getattr(data, f) for f in MpcQPData._fields})
-
-    from fbstab_tpu.models.scaling import scaling_engaged
-    scal = scaling
-    if scal is None and make_scaling is not None \
-            and scaling_engaged(opts, z0.dtype):
-        scal = jax.vmap(make_scaling)(base)
-    skw = {} if scal is None else {"scaling": scal}
-
-    x1, core1 = solve_batch(data, z0, l0, v0, opts1, **skw)
-    retry = ((core1.eflag == int(ExitFlag.MAXITERATIONS))
-             | (core1.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)))
-    B = core1.eflag.shape[0]
+    B = z0.shape[0]
     P = phase2_size if phase2_size is not None else max(B // 4, 1)
-    P = min(P, B)
-    count = jnp.sum(retry)
-    idx = jnp.nonzero(retry, size=P, fill_value=0)[0]
-    valid = jnp.arange(P) < count
-
-    take = lambda tree: jax.tree.map(lambda a: a[idx], tree)
-    sub = take(base)
-    sx = take(x1)
-    skw2 = {} if scal is None else {"scaling": take(scal)}
-    x2, core2 = solve_batch(sub, sx.z, sx.l, sx.v, opts2, **skw2)
-
-    # Scatter back: invalid (padding) rows are dropped via an
-    # out-of-bounds index, so nothing aliases lane 0.
-    idx_safe = jnp.where(valid, idx, B)
-    # (0-d leaves: see the max-merge note in the host-sync variant above.)
-    upd = lambda a, b: (jnp.maximum(a, b) if jnp.ndim(a) == 0
-                        else a.at[idx_safe].set(b, mode="drop"))
-    x = jax.tree.map(upd, x1, x2)
-    core = jax.tree.map(upd, core1, core2)
-    core = core._replace(
-        newton_iters=core.newton_iters.at[idx_safe].add(
-            core1.newton_iters[idx], mode="drop"),
-        prox_iters=core.prox_iters.at[idx_safe].add(
-            core1.prox_iters[idx], mode="drop"),
-        initial_residual=core1.initial_residual)
-
-    if phase2_fallback:
-        # Capacity-overflow fallback: stragglers beyond phase2_size kept
-        # their phase-1 MAXITERATIONS result above; a one-shot caller
-        # would have solved them. Re-solve the FULL batch with the full
-        # phase-2 budget, warmstarted from the merged iterates (solved
-        # lanes exit immediately), and keep the new result on lanes
-        # still flagged for retry. lax.cond skips the pass at runtime
-        # whenever the straggler count fit the capacity.
-        def _fallback(_):
-            xf, coref = solve_batch(base, x.z, x.l, x.v, opts2, **skw)
-            still = ((core.eflag == int(ExitFlag.MAXITERATIONS))
-                     | (core.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)))
-            pick = lambda a, b: jnp.where(
-                still.reshape((B,) + (1,) * (jnp.ndim(a) - 1)), a, b) \
-                if jnp.ndim(a) else jnp.maximum(a, b)
-            xm = jax.tree.map(pick, xf, x)
-            cm = jax.tree.map(pick, coref, core)
-            return xm, cm._replace(
-                newton_iters=jnp.where(
-                    still, core.newton_iters + coref.newton_iters,
-                    cm.newton_iters),
-                prox_iters=jnp.where(
-                    still, core.prox_iters + coref.prox_iters,
-                    cm.prox_iters),
-                initial_residual=core.initial_residual)
-
-        x, core = jax.lax.cond(count > P, _fallback,
-                               lambda _: (x, core), None)
-
-    from fbstab_tpu.models.refine import refine_engaged
-    if refine_fn is not None and refine_engaged(opts, z0.dtype):
-        return refine_fn(base, x, core, opts, scal=scal)
-    return x, core
+    prof2 = phase2_options if phase2_options is not None else "reliable"
+    return solve_batch_adaptive_schedule(
+        solve_batch, refine_fn, data, z0, l0, v0, options,
+        stages=[(phase1_newton_iters, None, "same"), (None, P, prof2)],
+        make_scaling=make_scaling, scaling=scaling,
+        fallback=phase2_fallback)
 
 
 def solve_mpc_qp_batch_adaptive_device(data, z0, l0, v0, options: Options,
@@ -278,6 +332,35 @@ def solve_mpc_qp_batch_adaptive_device(data, z0, l0, v0, options: Options,
     return solve_batch_adaptive_device(
         solve_mpc_qp_batch, refine_solution_mpc, data, z0, l0, v0,
         options, **kwargs)
+
+
+def solve_mpc_qp_batch_adaptive_schedule(data, z0, l0, v0,
+                                         options: Options, stages,
+                                         **kwargs):
+    """N-stage device-side adaptive MPC batch solve (see
+    solve_batch_adaptive_schedule for the stage tuple semantics)."""
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.models.refine import refine_solution_mpc
+    from fbstab_tpu.models.scaling import ruiz_mpc_scaling
+
+    kwargs.setdefault("make_scaling", ruiz_mpc_scaling)
+    return solve_batch_adaptive_schedule(
+        solve_mpc_qp_batch, refine_solution_mpc, data, z0, l0, v0,
+        options, stages, **kwargs)
+
+
+def solve_dense_qp_batch_adaptive_schedule(data, z0, l0, v0,
+                                           options: Options, stages,
+                                           **kwargs):
+    """N-stage device-side adaptive dense batch solve."""
+    from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
+    from fbstab_tpu.models.refine import refine_solution_dense
+    from fbstab_tpu.models.scaling import ruiz_dense_scaling
+
+    kwargs.setdefault("make_scaling", ruiz_dense_scaling)
+    return solve_batch_adaptive_schedule(
+        solve_dense_qp_batch, refine_solution_dense, data, z0, l0, v0,
+        options, stages, **kwargs)
 
 
 def solve_mpc_qp_batch_adaptive(data, z0, l0, v0, options: Options,

@@ -45,7 +45,7 @@ opts1 = dataclasses.replace(opts, max_newton_iters=PHASE1, refine_steps=0)
 opts2 = dataclasses.replace(reliable_leaning(opts), refine_steps=0)
 
 data, z0, l0, v0 = build_batch(B, 30, 8, 3, 6, jnp.float32)
-dataT = with_transposed(data)
+# keep data raw: bench.py main passes MpcQPData and lets the dispatch transpose
 
 _jit = lambda f: jax.jit(f, compiler_options=tpu_compiler_options())
 
@@ -77,7 +77,7 @@ t_ruiz, scal = timeit(a, (data,), lambda o: o.kc[:1], label="ruiz(B)")
 # B. phase-1 solve (budget 16, no refine), scaling threaded.
 b = _jit(lambda d, z, l, v, s: solve_mpc_qp_batch(
     d, z, l, v, opts1, scaling=s))
-t_p1, (x1, core1) = timeit(b, (dataT, z0, l0, v0, scal),
+t_p1, (x1, core1) = timeit(b, (data, z0, l0, v0, scal),
                            lambda o: o[1].residual[:1], label="phase1(B)")
 ni1 = np.asarray(core1.newton_iters)
 retry = np.asarray(
@@ -130,7 +130,7 @@ t_df, _ = timeit(h, (data, x1.z, x1.l, x1.v),
 # F. full end-to-end two-phase adaptive (the headline program).
 f = _jit(lambda dd, z, l, v: solve_mpc_qp_batch_adaptive_device(
     dd, z, l, v, opts, phase1_newton_iters=PHASE1, phase2_size=P2))
-t_full, (xf, cf) = timeit(f, (dataT, z0, l0, v0),
+t_full, (xf, cf) = timeit(f, (data, z0, l0, v0),
                           lambda o: o[1].residual[:1], label="FULL adaptive")
 succ = float(np.mean(np.asarray(cf.eflag) == 0))
 print(f"\nFULL: {B / t_full:.0f} QPs/s  success={succ:.4f}")

@@ -211,3 +211,26 @@ def test_facade_adaptive_knobs_plumbed():
     assert solver.phase2_size == 2
     x, out, stats = solver.solve(data)
     assert int(stats.num_success) == B
+
+
+def test_device_adaptive_three_stage_schedule():
+    """solve_batch_adaptive_schedule with an intermediate same-profile
+    stage: converges everywhere, matches one-shot, accumulates
+    iteration counts across stages (round-5 schedule generalization)."""
+    from fbstab_tpu.models.dense_qp import solve_dense_qp_batch
+    from fbstab_tpu.parallel.adaptive import solve_batch_adaptive_schedule
+
+    B, n, q = 16, 8, 12
+    data, z0, l0, v0 = _dense_batch(B, n, q)
+    opts = Options(abs_tol=1e-8)
+
+    x, core = jax.jit(lambda d, z, l, v: solve_batch_adaptive_schedule(
+        solve_dense_qp_batch, None, d, z, l, v, opts,
+        stages=[(3, None, "same"), (6, 8, "same"), (None, 8, "reliable")],
+    ))(data, z0, l0, v0)
+    assert (np.asarray(core.eflag) == ExitFlag.SUCCESS).all()
+    x1, core1 = dense.solve_dense_qp_batch(data, z0, l0, v0, opts)
+    np.testing.assert_allclose(np.asarray(x.z), np.asarray(x1.z),
+                               atol=1e-6)
+    # Lanes that went through later stages accumulated their budgets.
+    assert int(np.max(np.asarray(core.newton_iters))) >= 4

@@ -103,3 +103,67 @@ def test_single_precision_meets_1e6_contract(monkeypatch, plant, horizon,
     # The reported residual is the verified-grade (double-float) one.
     np.testing.assert_allclose(np.asarray(core.residual, np.float64),
                                res64, rtol=0.5, atol=1e-9)
+
+
+# Round-5 VERDICT item 3: pin the 1e-6 contract in CPU CI at near-contract
+# strength. The product path's early-exit refinement runs inside a
+# lax.while_loop, where XLA:CPU breaks the double-float error-free
+# transforms (CLAUDE.md rule 10) — hence the loose cpu_tol floors above.
+# The Python-UNROLLED refine loop (refine_mpc_batch) compiles outside any
+# loop body, where CPU df arithmetic is measured exact (~7.6e-8 relative),
+# so polishing through it pins every plant at 3e-6 or better — a servo or
+# spacecraft contract regression now fails CI near the real contract
+# (reference: fbstab_mpc_unit_tests.cc:26-31 asserts <= 1e-6).
+#
+# Per-plant (sigma, steps) from the round-5 sweep
+# (scratch/cpu_unrolled_contract.py, measured CPU f32):
+#   double_integrator 1e-4/8 -> 2e-14; servo 1e-4/8 -> 3.9e-8;
+#   spacecraft 3e-4/12 -> 1.1e-8 (sigma <= 1e-4 produces garbage f32
+#   corrections there — the undamped unrolled loop has no sigma
+#   escalation, so the sigma must sit above the plant's conditioning
+#   floor); copoly 1e-4/6 -> 1.3e-9 (steps kept low: the unrolled graph
+#   at N=80 is compile-heavy).
+@pytest.mark.parametrize("plant,horizon,sigma,steps", [
+    (ocp_fixtures.double_integrator, 20, 1e-4, 8),
+    (ocp_fixtures.servo_motor, 25, 1e-4, 8),
+    (ocp_fixtures.spacecraft_relative_motion, 40, 3e-4, 12),
+    (ocp_fixtures.copolymerization_reactor, 80, 1e-4, 6),
+])
+def test_unrolled_refine_pins_contract_on_cpu(monkeypatch, plant, horizon,
+                                              sigma, steps):
+    import dataclasses
+
+    from fbstab_tpu.models.refine import refine_mpc_batch
+    from fbstab_tpu.models.scaling import (
+        apply_mpc_scaling, ruiz_mpc_scaling, scale_mpc_variable,
+        unscale_mpc_variable_df)
+
+    monkeypatch.setattr(mpc, "PALLAS_MODE", "off")
+    jax.clear_caches()
+    mpc._make_fused_step.cache_clear()
+
+    dtype = jnp.float32
+    opts = Options.single_precision()
+    raw_opts = dataclasses.replace(opts, refine_steps=0)
+    data, _ = plant(horizon, dtype=dtype)
+    N, nx, nu, nc = mpc.mpc_dims(data)
+    B = 1   # the reference's own test instance (nominal x0)
+    batch = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+                         data)
+    nz, nl, nv = (N + 1) * (nx + nu), (N + 1) * nx, (N + 1) * nc
+    x, core = mpc.solve_mpc_qp_batch(
+        batch, jnp.zeros((B, nz), dtype), jnp.zeros((B, nl), dtype),
+        jnp.zeros((B, nv), dtype), raw_opts)
+    assert np.all(np.asarray(core.eflag) == int(ExitFlag.SUCCESS))
+
+    # Equilibrated coordinates (exact pow2 transform), unrolled polish.
+    scal = jax.vmap(ruiz_mpc_scaling)(batch)
+    sdata = jax.vmap(apply_mpc_scaling)(batch, scal)
+    xs = scale_mpc_variable(x, scal)
+    ropts = dataclasses.replace(opts, sigma0=sigma)
+    refined_s, _ = refine_mpc_batch(sdata, xs, ropts, steps=steps)
+    refined = unscale_mpc_variable_df(refined_s, scal)
+    sol = refined.to_float64()
+    res64 = _f64_pnr(batch, sol.z, sol.l, sol.v, opts.alpha)
+    assert np.all(res64 <= 3e-6), (
+        f"unrolled-refine contract violated: res64={res64}")
