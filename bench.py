@@ -1141,6 +1141,96 @@ def mpc_perf_model(B, N, nx, nu, nc, newton_iters, t_solve, refine_steps,
     }
 
 
+def measure_segments(data, z0, l0, v0, opts, phase1, P2, t_full):
+    """Measured per-segment budget for the two-phase headline (round-5
+    VERDICT item 2): each pipeline segment timed as its own jit at the
+    headline shapes, so BENCH_r*.json alone documents where the wall
+    time goes and how much of the end-to-end time the segments explain.
+    All compiles are persistent-cache-warm after the first round-5 run
+    (scratch/tpu_segments.py built the same programs).
+
+      null     — fixed dispatch + timing-probe overhead through the
+                 (possibly remote) runtime; measured 20-36 ms through
+                 the axon tunnel depending on the day (CLAUDE.md rule 7)
+      ruiz     — the shared equilibration (computed once, threaded)
+      phase1   — full-batch budget-capped contract solve (no refine)
+      phase2   — straggler gather + compacted reliable re-solve
+      refine   — chunked double-float refinement + the fresh df report
+
+    The residue (t_full - sum) is the scatter/merge, the runtime-skipped
+    fallback + retry conds, and XLA glue."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    from fbstab_tpu.models.refine import refine_solution_mpc
+    from fbstab_tpu.models.scaling import ruiz_mpc_scaling
+    from fbstab_tpu.parallel.adaptive import reliable_leaning
+    from fbstab_tpu.solver_out import ExitFlag
+
+    opts1 = dataclasses.replace(opts, max_newton_iters=phase1,
+                                refine_steps=0)
+    opts2 = dataclasses.replace(reliable_leaning(opts), refine_steps=0)
+
+    def tmin(fn, args, probe, n=3):
+        out = fn(*args)
+        np.asarray(probe(out))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            np.asarray(probe(out))
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
+
+    t_null, _ = tmin(_jit(lambda d: d.x0 * 1.0), (data,),
+                     lambda o: o[:1, :1])
+    t_ruiz, scal = tmin(_jit(lambda d: jax.vmap(ruiz_mpc_scaling)(d)),
+                        (data,), lambda o: o.kc[:1])
+    t_p1, (x1, core1) = tmin(
+        _jit(lambda d, z, l, v, s: solve_mpc_qp_batch(
+            d, z, l, v, opts1, scaling=s)),
+        (data, z0, l0, v0, scal), lambda o: o[1].residual[:1])
+
+    def gather_phase2(d, xz, xl, xv, s, ef):
+        r = ((ef == int(ExitFlag.MAXITERATIONS))
+             | (ef == int(ExitFlag.LINEAR_SOLVER_FAILED)))
+        idx = jnp.nonzero(r, size=P2, fill_value=0)[0]
+        take = lambda t: jax.tree.map(lambda a: a[idx], t)
+        return solve_mpc_qp_batch(take(d), take(xz), take(xl), take(xv),
+                                  opts2, scaling=take(s))
+
+    t_p2, _ = tmin(_jit(gather_phase2),
+                   (data, x1.z, x1.l, x1.v, scal, core1.eflag),
+                   lambda o: o[1].residual[:1])
+
+    def refine(d, xz, xl, xv, xy, c, s):
+        from fbstab_tpu.core.variable import Variable
+        return refine_solution_mpc(d, Variable(z=xz, l=xl, v=xv, y=xy),
+                                   c, opts, scal=s)
+
+    t_rf, _ = tmin(_jit(refine),
+                   (data, x1.z, x1.l, x1.v, x1.y, core1, scal),
+                   lambda o: o[1].residual[:1])
+
+    seg = {
+        "null_dispatch_ms": round(t_null * 1e3, 1),
+        "ruiz_ms": round((t_ruiz - t_null) * 1e3, 1),
+        "phase1_ms": round((t_p1 - t_null) * 1e3, 1),
+        "phase2_gather_ms": round((t_p2 - t_null) * 1e3, 1),
+        "refine_ms": round((t_rf - t_null) * 1e3, 1),
+    }
+    explained = t_null + (t_ruiz - t_null) + (t_p1 - t_null) \
+        + (t_p2 - t_null) + (t_rf - t_null)
+    seg["explained_pct"] = round(100.0 * explained / max(t_full, 1e-9), 1)
+    seg["retry_count"] = int(np.sum(np.asarray(
+        (core1.eflag == int(ExitFlag.MAXITERATIONS))
+        | (core1.eflag == int(ExitFlag.LINEAR_SOLVER_FAILED)))))
+    return seg
+
+
 def _setup_cache():
     """Persistent compilation cache: the fused Pallas kernels have long
     one-time Mosaic compiles; cache them across bench invocations."""
@@ -1172,14 +1262,20 @@ def main():
     # Headline configuration: the device-side two-phase adaptive solve
     # (parallel/adaptive.py, the FBstabMpcBatch(adaptive=True) product
     # path). One-shot lockstep makes every 128-lane tile wait on its own
-    # Newton-iteration tail (34 tile-iters vs a per-lane mean of 11.2);
-    # capping phase 1 and re-solving the compacted stragglers measured
-    # 21.9k vs 18.8k one-shot QPs/s at the same 100% success and 1e-6
-    # contract (round-4 sweep, scratch/tpu_adaptive_sweep.py: phase1=16
-    # is the sweet spot; 12 under-seeds the phase-2 warmstart and FAILS
-    # lanes — do not lower it without re-running the sweep).
+    # Newton-iteration tail; capping phase 1 and re-solving the compacted
+    # stragglers wins ~17% at the same 100% success and 1e-6 contract
+    # (round-4 sweep, scratch/tpu_adaptive_sweep.py: phase1=16 is the
+    # sweet spot; 12 under-seeds the phase-2 warmstart and FAILS lanes —
+    # do not lower it without re-running the sweep). Round-5 re-tuning
+    # (scratch/tpu_ablate.py): the measured straggler tail is ~11% of
+    # lanes, so phase-2 capacity B//8 edges out B//4 (24,027 vs 23,753
+    # QPs/s, fewer padding tiles); the capacity-overflow fallback pass
+    # costs nothing when skipped (345.5 vs 344.9 ms) and rescued a
+    # deliberately under-sized P2=512 run to 100% success, so it stays
+    # on. Multi-stage schedules beyond two LOSE (restart overhead >
+    # lockstep savings; scratch/tpu_schedule.py, null result).
     PHASE1 = 16
-    P2 = max(B // 4, 128)
+    P2 = max(B // 8, 128)
     two_phase_cfg = (PHASE1, P2)
 
     def compile_and_warm():
@@ -1242,6 +1338,18 @@ def main():
                         mean_refine_steps(core), two_phase=two_phase_cfg)
     pm["max_refine_steps"] = executed_refine_steps(core)
     pm["two_phase"] = {"phase1_newton_iters": PHASE1, "phase2_size": P2}
+    # Round-5 item 2: the measured per-segment budget rides the JSON so
+    # the headline's gap to its issue bound is accounted for per run
+    # (the unmodeled part is the explained_pct residue, not a mystery).
+    try:
+        pm["segments"] = measure_segments(data, z0, l0, v0, opts,
+                                          PHASE1, P2, min(times))
+        pm["pct_of_issue_bound_net_overhead"] = round(
+            100.0 * pm["issue_bound_s"]
+            / max(min(times) - pm["segments"]["null_dispatch_ms"] / 1e3,
+                  1e-9), 1)
+    except Exception as e:  # noqa: BLE001 — keep the headline JSON
+        pm["segments"] = {"error": f"{type(e).__name__}: {e}"}
 
     # Per-plant contract audit (round-4 item 4): the headline JSON alone
     # must prove the 1e-6 contract on the reference's own test problems

@@ -872,26 +872,53 @@ def _subfused_eligible(data: MpcQPData, dtype):
     return None
 
 
-# Beyond-envelope BATCHED dispatch: the scan-vs-assoc choice flips on
-# the stage dimension, not the horizon (measured round 4, B=256 raw
-# tier, v5e f32, scratch/tpu_longbatch.py / tpu_crossover.py /
-# tpu_copoly320.py):
-#   nx=2  N=480: scan 128.3 QPs/s vs assoc 35.8   (scan 3.6x)
-#   nx=4  N=480: scan  20.2        vs assoc  6.3  (scan 3.2x)
-#   nx=6  N=480: scan  16.9        vs assoc  4.4  (scan 3.8x)
-#   nx=18 N=320: assoc 80.8        vs scan  41.8  (assoc 1.9x)
-# With the batch axis on the 128-wide vector lanes, B >= 256 already
-# saturates the VPU at every horizon step, so the sequential scan is
-# compute- not latency-bound and the assoc span algebra's constant-
-# factor FLOP multiple (~6x) loses. Only once the per-stage block math
-# itself is large (copoly-class nx=18) does the scan's serialized
-# stage critical path dominate and the O(log N) form win. The 7..15
-# band is unmeasured; it defaults to scan, the measured-majority side
-# (a wrong scan there costs < 2x, a wrong assoc costs > 3x).
+# Beyond-envelope BATCHED dispatch: scan, at every stage dimension
+# (round-5 revision of the round-4 stage-dim gate). The round-4 raw-tier
+# crossover (B=256: nx=2/N=480 scan 3.6x, nx=18/N=320 assoc 1.9x) put
+# copoly-class stage dims on the batched assoc Riccati; round-5
+# re-measurement on the CONTRACT path and at large batch reversed it
+# (scratch/tpu_beyond_envelope.py / tpu_beyond_diag.py / _copoly320_fix):
+#   nx=18 N=320 B=256: the contract stack (refine corrections through
+#     the same dispatch) on SCAN runs 91.2 QPs/s at the full f64-verified
+#     1e-6 contract — above the 80.8 QPs/s the assoc tier measured RAW
+#     in round 4 — and the assoc compilation with the refine graph
+#     KERNEL-FAULTED the TPU worker (twice: also at nx=2/N=480/B=2048);
+#   nx=2 N=480 B=2048: scan 211 QPs/s — no VMEM-spill cliff at large
+#     batch for beyond-envelope shapes (the rule-2 cliff is the
+#     within-envelope headline class, where the fused kernel is the fix).
+# The batched assoc tier remains available as riccati='assoc' (and is
+# parity-tested on CPU — the span algebra is correct; f64 CPU matches
+# scan to 1e-9 at N=320), but auto no longer routes product batches to
+# a path that can fault the worker under the contract stack.
 # Single-instance dispatch is different: there the lanes are EMPTY and
 # the scan is pure dispatch latency — assoc wins from N >= 48
 # (ASSOC_MIN_HORIZON_TPU above).
-ASSOC_MIN_STATE_DIM_BATCH = 16
+ASSOC_MIN_STATE_DIM_BATCH = 16   # retained for reference/tests; unused
+                                 # by auto since round 5.
+
+
+def beyond_envelope_noeq(data: MpcQPData, dtype, backend=None) -> bool:
+    """Round-5 measured policy: beyond the fused-kernel envelope the
+    TPU f32 product path runs UNEQUILIBRATED. Measured at B=256
+    (scratch/tpu_beyond_diag.py / tpu_walk_validate.py, f64-verified):
+
+      copoly nx=18 N=320: equilibrated contract compilation STAGNATES
+        (0% success, ni p50 ~93, both scan and assoc; the same options
+        converge on CPU — a TPU-compilation-sensitive knife edge) while
+        the unequilibrated contract path meets the full 1e-6 contract
+        at 91.2 QPs/s (res64 max 5.4e-8, 2 refine steps);
+      di nx=2 N=480: the equilibrated refinement stalls at ~7e-5 even
+        with the round-5 walk window; unequilibrated reaches 100%
+        <= 1e-6 (max 9.1e-7) at 175 QPs/s.
+
+    Equilibration remains essential INSIDE the envelope (the ServoMotor
+    / Spacecraft conditioning story, models/scaling.py); beyond it the
+    badly-scaled plants cannot meet the f32 contract either way, and
+    the well-scaled ones only meet it without the scaling transform."""
+    N, nx, nu, nc = mpc_dims(data)
+    backend = backend or jax.default_backend()
+    return (_kernel_mode(N, nx, nu, nc) is None
+            and dtype == jnp.float32 and backend == "tpu")
 
 
 def _auto_batch_riccati(data: MpcQPData, dtype, backend=None) -> str:
@@ -901,12 +928,9 @@ def _auto_batch_riccati(data: MpcQPData, dtype, backend=None) -> str:
        scan-ops path is right: eligible batches land on a fused tier and
        the rest engage the Newton-step kernel via custom_vmap;
      - beyond it (N > 160, nx > 32, or past the VMEM model), on TPU f32
-       the stage dimension decides (ASSOC_MIN_STATE_DIM_BATCH above):
-       large stage blocks go to the batched parallel (associative-scan)
-       Riccati, small ones stay on the vmapped sequential scan — the
-       batch axis already fills the vector lanes, and the assoc form's
-       constant-factor FLOP multiple loses there (measured, round 4).
-       On CPU the assoc path wins only at long horizons (crossover near
+       batches stay on the vmapped sequential scan at every stage
+       dimension (see the measured round-5 revision above). On CPU the
+       assoc path wins only at long horizons (crossover near
        N=ASSOC_MIN_HORIZON).
     """
     N, nx, nu, nc = mpc_dims(data)
@@ -914,7 +938,7 @@ def _auto_batch_riccati(data: MpcQPData, dtype, backend=None) -> str:
         return "scan"
     backend = backend or jax.default_backend()
     if backend == "tpu" and dtype == jnp.float32:
-        return "assoc" if nx >= ASSOC_MIN_STATE_DIM_BATCH else "scan"
+        return "scan"
     return "assoc" if N >= ASSOC_MIN_HORIZON else "scan"
 
 
@@ -1010,6 +1034,14 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
     from fbstab_tpu.models.refine import refine_engaged
     from fbstab_tpu.models.scaling import (
         ruiz_mpc_scaling, scaling_engaged, solve_scaled_mpc)
+
+    # Beyond-envelope TPU f32 batches run unequilibrated (measured
+    # round-5 policy, beyond_envelope_noeq) unless the caller supplied
+    # a precomputed scaling explicitly.
+    if (scaling is None and opts.equilibrate
+            and beyond_envelope_noeq(data, z0.dtype)):
+        import dataclasses as _dc
+        opts = _dc.replace(opts, equilibrate=False)
 
     scal = scaling
     if scal is None and scaling_engaged(opts, z0.dtype):

@@ -147,8 +147,15 @@ def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
     # The Ruiz scaling depends on every data field except x0/c, and the
     # closed loop only moves x0 — compute it ONCE here instead of every
     # control step inside the scan (it would otherwise run 12 Ruiz
-    # iterations per step on identical plant data).
+    # iterations per step on identical plant data). Beyond the kernel
+    # envelope the TPU f32 path runs unequilibrated (measured round-5
+    # policy, models/mpc_qp.py beyond_envelope_noeq).
+    import dataclasses as _dc
+
+    from fbstab_tpu.models.mpc_qp import beyond_envelope_noeq
     from fbstab_tpu.models.scaling import ruiz_mpc_scaling, scaling_engaged
+    if opts.equilibrate and beyond_envelope_noeq(data, dtype):
+        opts = _dc.replace(opts, equilibrate=False)
     scal = (jax.vmap(ruiz_mpc_scaling)(batch)
             if scaling_engaged(opts, dtype) else None)
 

@@ -339,6 +339,20 @@ def _dense_refine_entry(data, x: Variable, options: Options, scal=None):
     return (z0, l0, v0, y0), blocks0, res0
 
 
+# Bounded non-monotone acceptance window for the product refinement
+# loops (round 5). Long-horizon f32 corrections traverse a measured
+# non-monotone transient (residual rises ~3x for a few steps before
+# contracting — di N=480 on v5e) that a strictly monotone-from-best rule
+# misreads as rejection, escalating sigma to its cap and stranding the
+# lane. A trial within WALK_BAND of the best may advance the CURRENT
+# point for up to WALK_STEPS consecutive non-improving steps; the
+# returned answer always comes from the separately-tracked BEST point,
+# and out-of-band steps (garbage corrections measure 50-100x best) still
+# reject-and-escalate exactly as in round 4.
+WALK_BAND = 8.0
+WALK_STEPS = 6
+
+
 def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
                        good, scal=None):
     """Dense analog of _refine_mpc_loop: data and the entry state in loop
@@ -374,12 +388,14 @@ def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
         return jax.vmap(one)(data, zh, lh, vh, yh, rz, rl, rv, sig)
 
     def body(carry):
-        best, blocks, res_best, live, t, sig, i = carry
-        z, l, v, y = best
-        rz, rl, rv = blocks
+        cur, bst, blocks_c, blocks_b, res_best, live, t, sig, since, i \
+            = carry
+        z, l, v, y = cur
+        rz, rl, rv = blocks_c
         dz, dl, dv, ok = newton(df_to(z), df_to(l), df_to(v), df_to(y),
                                 df_to(rz), df_to(rl), df_to(rv), sig)
-        # Damped monotone step from best (see _refine_mpc_loop).
+        # Damped step with the bounded non-monotone walk window (full
+        # rationale in _refine_mpc_loop's body).
         tm = (t * (live & ok).astype(dtype))[:, None]
         z_p = df_add(z, df(tm * dz))
         l_p = df_add(l, df(tm * dl))
@@ -387,31 +403,44 @@ def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
         y_p = margin(z_p)
         blocks_p = _dense_kkt_residual_df(data, z_p, l_p, v_p, y_p, alpha)
         res_p = norms(z_p, l_p, v_p, y_p, *blocks_p[:2])
-        better = live & ok & jnp.isfinite(res_p) & (res_p < res_best)
-        pick = lambda pn, po: jax.tree.map(
+        finite = live & ok & jnp.isfinite(res_p)
+        improved = finite & (res_p < res_best)
+        walk = (finite & ~improved & (res_p < WALK_BAND * res_best)
+                & (since < WALK_STEPS) & (t >= 1.0))
+        advance = improved | walk
+        rejected = live & ~advance
+        sel = lambda m: lambda pn, po: jax.tree.map(
             lambda a, b: jnp.where(
-                better.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
-        best = pick((z_p, l_p, v_p, y_p), best)
-        blocks = pick(blocks_p, blocks)
-        res_best = jnp.where(better, res_p, res_best)
-        # Escalate on rejected steps with a damping reset while sigma
-        # still has headroom (second wind, see _refine_mpc_loop).
-        wind = ~better & live & (sig < 8e-2)
-        t = jnp.where(better | wind, 1.0, t * 0.5)
-        sig = jnp.where(better, sig, jnp.minimum(sig * 8.0, 8e-2))
+                m.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
+        state_p = (z_p, l_p, v_p, y_p)
+        cur = sel(advance)(state_p, sel(rejected)(bst, cur))
+        blocks_c = sel(advance)(blocks_p,
+                                sel(rejected)(blocks_b, blocks_c))
+        bst = sel(improved)(state_p, bst)
+        blocks_b = sel(improved)(blocks_p, blocks_b)
+        res_best = jnp.where(improved, res_p, res_best)
+        since = jnp.where(improved | rejected, 0,
+                          jnp.where(walk, since + 1, since))
+        wind = rejected & (sig < 8e-2)
+        t = jnp.where(improved | wind, 1.0,
+                      jnp.where(walk, t, t * 0.5))
+        sig = jnp.where(rejected, jnp.minimum(sig * 8.0, 8e-2), sig)
         live = live & (t >= 1.0 / 64.0)
-        return (best, blocks, res_best, live, t, sig, i + 1)
+        return (cur, bst, blocks_c, blocks_b, res_best, live, t, sig,
+                since, i + 1)
 
     def cond(carry):
-        best, blocks, res_best, live, t, sig, i = carry
+        res_best, live = carry[4], carry[5]
+        i = carry[9]
         pending = jnp.max(jnp.where(live, res_best, 0.0))
         return (i < opts.refine_steps) & (pending > target)
 
     sig0 = jnp.full((B,), sigma, dtype)
     ones = jnp.ones((B,), dtype)
-    (z, l, v, y), _, res, _, _, _, steps = jax.lax.while_loop(
-        cond, body, (state0, blocks0, res0, good, ones, sig0,
-                     jnp.int32(0)))
+    zeros_i = jnp.zeros((B,), jnp.int32)
+    (_, (z, l, v, y), _, _, res, _, _, _, _, steps) = jax.lax.while_loop(
+        cond, body, (state0, state0, blocks0, blocks0, res0, good, ones,
+                     sig0, zeros_i, jnp.int32(0)))
     return VariableDF(z=z, l=l, v=v, y=y), res, steps
 
 
@@ -569,9 +598,10 @@ def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
     step_fn = _mpc._make_fused_step(float(alpha))
 
     def body(carry):
-        best, blocks, res_best, live, t, sig, i = carry
-        zx, zu, l, v, y = best
-        rzx, rzu, rl, rv = blocks
+        cur, bst, blocks_c, blocks_b, res_best, live, t, sig, since, i \
+            = carry
+        zx, zu, l, v, y = cur
+        rzx, rzu, rl, rv = blocks_c
         rz_flat = jnp.concatenate(
             [df_to(rzx), df_to(rzu)], axis=2).reshape(B, -1)
         rl_flat = df_to(rl).reshape(B, -1)
@@ -583,13 +613,30 @@ def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
                 dd, vv, yy, vb, rz_, rl_, rv_, sg),
             in_axes=(_mpc._DATA_T_AXES, 0, 0, 0, 0, 0, 0, 0),
         )(data_t, vh, yh, vh, -rz_flat, -rl_flat, -rv_flat, sig)
-        # Damped step from the best-so-far state: undamped semismooth
-        # corrections can limit-cycle across active-set kinks (observed:
-        # last-bit rounding decides between convergence and a 3e-5
-        # orbit on the ServoMotor), so a step that does not improve the
-        # residual is retried from `best` at half the step length; an
-        # improvement resets t to 1. Monotone by construction — cannot
-        # cycle.
+        # Step acceptance (round-5 revision): the loop tracks a CURRENT
+        # walking point and the BEST point separately.
+        #  * improved (res_p < res_best): both advance; the returned
+        #    answer only ever comes from `bst`, so the walk below cannot
+        #    corrupt it.
+        #  * walk (res_p within WALK_BAND x res_best, at most WALK_STEPS
+        #    consecutive non-improving steps): CURRENT advances anyway.
+        #    Long-horizon f32 corrections have a measured non-monotone
+        #    transient (di N=480 on v5e: the residual RISES 1.6e-4 ->
+        #    4.5e-4 over 4 steps before contracting ~1.4x/step to 5.6e-6
+        #    by step 10); the round-4 monotone-from-best rule read that
+        #    transient as rejection, escalated sigma to its cap, and
+        #    stranded the whole batch at ~7e-5 with the budget burned.
+        #  * rejected (NaN, out-of-band — e.g. the garbage f32
+        #    corrections an aggressive sigma yields on the Spacecraft,
+        #    measured at 50-100x the best residual, far outside the
+        #    band — or walk budget exhausted): CURRENT returns to BEST
+        #    and the round-4 dynamics apply unchanged — sigma escalates
+        #    8x (the regularize-and-retry the reference leaves as a
+        #    TODO, riccati_linear_solver.cc:129-130) with a damping
+        #    reset while it has headroom (second wind), else the step
+        #    halves; a lane dies only once sigma is capped AND the
+        #    damping ladder re-exhausts. Well-conditioned lanes improve
+        #    every step and never see any of this.
         tm = (t * (live & ok).astype(dtype))[:, None, None]
         dzs = dz.reshape(B, N1, nx + nu)
         addf = lambda p, c: df_add(p, df(tm * c))
@@ -601,49 +648,46 @@ def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
         blocks_p = _mpc_kkt_residual_df(data, zx_p, zu_p, l_p, v_p, y_p,
                                         alpha)
         res_p = norms(zx_p, zu_p, l_p, v_p, y_p, *blocks_p[:3])
-        better = live & ok & jnp.isfinite(res_p) & (res_p < res_best)
-        pick = lambda pn, po: jax.tree.map(
+        finite = live & ok & jnp.isfinite(res_p)
+        improved = finite & (res_p < res_best)
+        walk = (finite & ~improved & (res_p < WALK_BAND * res_best)
+                & (since < WALK_STEPS) & (t >= 1.0))
+        advance = improved | walk
+        rejected = live & ~advance
+        sel = lambda m: lambda pn, po: jax.tree.map(
             lambda a, b: jnp.where(
-                better.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
-        best = pick((zx_p, zu_p, l_p, v_p, y_p), best)
-        blocks = pick(blocks_p, blocks)
-        res_best = jnp.where(better, res_p, res_best)
-        # Sigma escalation keys on REJECTED steps, not just NaN
-        # failures: on badly conditioned plants an aggressive
-        # refine_sigma yields silently-garbage f32 corrections (the
-        # factorization completes, no NaN — measured on the
-        # SpacecraftRelativeMotion: the damped loop rejected every
-        # step until lanes died at 2.3e-4 while sigma never moved).
-        # A step that improves KEEPS the sigma that produced it; a
-        # rejected or failed step escalates 8x (the regularize-and-
-        # retry the reference leaves as a TODO,
-        # riccati_linear_solver.cc:129-130). While sigma still has
-        # headroom an escalation also RESETS the damping (second
-        # wind): the rejected trials that burned the old ladder said
-        # nothing about the new, better-conditioned correction
-        # operator, and killing the lane on their count strands it
-        # just above target (measured: 8/128 perturbed Spacecraft
-        # lanes at 1e-6..9e-6). A lane is declared stalled only once
-        # sigma is at its cap AND the damping ladder re-exhausts —
-        # bounded by ~4 escalations + 6 halvings, inside the
-        # refine_steps budget. Well-conditioned lanes never reject,
-        # so none of this costs them anything.
-        wind = ~better & live & (sig < 8e-2)
-        t = jnp.where(better | wind, 1.0, t * 0.5)
-        sig = jnp.where(better, sig, jnp.minimum(sig * 8.0, 8e-2))
+                m.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
+        state_p = (zx_p, zu_p, l_p, v_p, y_p)
+        cur = sel(advance)(state_p, sel(rejected)(bst, cur))
+        blocks_c = sel(advance)(blocks_p,
+                                sel(rejected)(blocks_b, blocks_c))
+        bst = sel(improved)(state_p, bst)
+        blocks_b = sel(improved)(blocks_p, blocks_b)
+        res_best = jnp.where(improved, res_p, res_best)
+        since = jnp.where(improved | rejected, 0,
+                          jnp.where(walk, since + 1, since))
+        wind = rejected & (sig < 8e-2)
+        t = jnp.where(improved | wind, 1.0,
+                      jnp.where(walk, t, t * 0.5))
+        sig = jnp.where(rejected, jnp.minimum(sig * 8.0, 8e-2), sig)
         live = live & (t >= 1.0 / 64.0)
-        return (best, blocks, res_best, live, t, sig, i + 1)
+        return (cur, bst, blocks_c, blocks_b, res_best, live, t, sig,
+                since, i + 1)
 
     def cond(carry):
-        best, blocks, res_best, live, t, sig, i = carry
+        res_best, live = carry[4], carry[5]
+        i = carry[9]
         pending = jnp.max(jnp.where(live, res_best, 0.0))
         return (i < opts.refine_steps) & (pending > target)
 
     sig0 = jnp.full((B,), sigma, dtype)
     ones = jnp.ones((B,), dtype)
-    (zx, zu, l, v, y), _, res, _, _, _, steps = jax.lax.while_loop(
-        cond, body,
-        (state0, blocks0, res0, good, ones, sig0, jnp.int32(0)))
+    zeros_i = jnp.zeros((B,), jnp.int32)
+    (_, (zx, zu, l, v, y), _, _, res, _, _, _, _, steps) = \
+        jax.lax.while_loop(
+            cond, body,
+            (state0, state0, blocks0, blocks0, res0, good, ones, sig0,
+             zeros_i, jnp.int32(0)))
 
     zshape = (B, N1 * (nx + nu))
     refined = VariableDF(

@@ -321,6 +321,18 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
         fallback=phase2_fallback)
 
 
+def _mpc_gate_options(data, dtype, options: Options) -> Options:
+    """Apply the beyond-envelope no-equilibration policy before the
+    schedule computes its shared scaling (models/mpc_qp.py,
+    beyond_envelope_noeq — measured round 5)."""
+    from fbstab_tpu.models.mpc_qp import beyond_envelope_noeq
+
+    o = options.validated()
+    if o.equilibrate and beyond_envelope_noeq(data, dtype):
+        o = dataclasses.replace(o, equilibrate=False)
+    return o
+
+
 def solve_mpc_qp_batch_adaptive_device(data, z0, l0, v0, options: Options,
                                        **kwargs):
     """Device-side (jittable, shard_map-safe) adaptive MPC batch solve."""
@@ -331,7 +343,7 @@ def solve_mpc_qp_batch_adaptive_device(data, z0, l0, v0, options: Options,
     kwargs.setdefault("make_scaling", ruiz_mpc_scaling)
     return solve_batch_adaptive_device(
         solve_mpc_qp_batch, refine_solution_mpc, data, z0, l0, v0,
-        options, **kwargs)
+        _mpc_gate_options(data, z0.dtype, options), **kwargs)
 
 
 def solve_mpc_qp_batch_adaptive_schedule(data, z0, l0, v0,
@@ -346,7 +358,7 @@ def solve_mpc_qp_batch_adaptive_schedule(data, z0, l0, v0,
     kwargs.setdefault("make_scaling", ruiz_mpc_scaling)
     return solve_batch_adaptive_schedule(
         solve_mpc_qp_batch, refine_solution_mpc, data, z0, l0, v0,
-        options, stages, **kwargs)
+        _mpc_gate_options(data, z0.dtype, options), stages, **kwargs)
 
 
 def solve_dense_qp_batch_adaptive_schedule(data, z0, l0, v0,

@@ -62,17 +62,23 @@ def run(label, args, opts, riccati="auto", verify=True):
     t = min(ts)
     ef = np.asarray(core.eflag)
     succ = float((ef == 0).mean())
+    uniq, cnt = np.unique(ef, return_counts=True)
     msg = (f"{label:34s} {B / t:8.1f} QPs/s  t={t:6.3f}s "
-           f"success={succ:.3f} (compile {tc:.0f}s)")
+           f"success={succ:.3f} eflags={dict(zip(uniq.tolist(), cnt.tolist()))} "
+           f"(compile {tc:.0f}s)")
     if verify:
         sol = (x.to_float64() if hasattr(x, "to_float64") else None)
-        if sol is not None:
+        ok = ef == 0
+        if sol is not None and ok.any():
             res64 = f64_pnr_np(fresh, sol.z, sol.l, sol.v, opts.alpha)
-            ok = ef == 0
             msg += (f"  res64 max={res64[ok].max():.2e} "
                     f"frac<=1e-6={float(np.mean(res64[ok] <= 1e-6)):.4f}")
             rs = np.asarray(core.refine_steps)
             msg += f" refine_steps max={rs.max()}"
+        elif sol is not None:
+            msg += (f"  NO SUCCESS LANES; raw med="
+                    f"{np.median(np.asarray(core.raw_residual)):.2e} "
+                    f"ni p50={np.percentile(np.asarray(core.newton_iters), 50):.0f}")
     print(msg, flush=True)
 
 

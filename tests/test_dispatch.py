@@ -52,22 +52,23 @@ def test_smaller_tile_does_not_shrink_the_model():
 
 def test_batch_auto_beyond_kernel_caps_policy():
     """riccati='auto' (the solve_mpc_qp_batch default) beyond the
-    fused-kernel envelope: on TPU f32 the STAGE DIMENSION decides
-    (measured round 4, `ASSOC_MIN_STATE_DIM_BATCH` — the batch axis
-    already fills the vector lanes, so small-stage batches stay on the
-    vmapped sequential scan at 3.2-3.8x the assoc throughput, while
-    copoly-class stage blocks go to the batched parallel
-    (associative-scan) Riccati at 1.9x the scan)."""
-    # Long horizon, tiny stage blocks: scan wins (measured 128.3 vs
-    # 35.8 QPs/s at N=480 nx=2).
+    fused-kernel envelope: on TPU f32 batches stay on the vmapped
+    sequential scan at EVERY stage dimension (round-5 revision: the
+    contract stack on scan outruns the round-4 raw-tier assoc numbers
+    at nx=18/N=320, scan shows no large-B VMEM cliff at these shapes,
+    and the assoc compilation with the refine graph kernel-faulted the
+    TPU worker — see models/mpc_qp.py policy comment)."""
+    # Long horizon, tiny stage blocks: scan (measured 211 QPs/s at
+    # N=480 nx=2 B=2048 raw; 128.3 vs assoc 35.8 at B=256).
     d480, _ = double_integrator(480, dtype=jnp.float32)
     assert m._auto_batch_riccati(d480, jnp.float32, backend="tpu") \
         == "scan"
-    # Beyond-envelope copoly-class stage dims: assoc (measured 80.8 vs
-    # 41.8 QPs/s at N=320 nx=18).
+    # Beyond-envelope copoly-class stage dims: ALSO scan since round 5
+    # (contract-path scan 91.2 QPs/s at the full 1e-6 contract vs the
+    # raw-tier assoc 80.8).
     d320, _ = copolymerization_reactor(320, dtype=jnp.float32)
     assert m._auto_batch_riccati(d320, jnp.float32, backend="tpu") \
-        == "assoc"
+        == "scan"
     # State dim beyond the nx cap (synthetic shapes; values irrelevant).
     nx, nu, nc, N = 40, 4, 6, 30
     big = m.MpcQPData(
@@ -78,7 +79,7 @@ def test_batch_auto_beyond_kernel_caps_policy():
         E=jnp.zeros((N + 1, nc, nx)), L=jnp.zeros((N + 1, nc, nu)),
         d=jnp.zeros((N + 1, nc)), x0=jnp.zeros((nx,)))
     assert m._auto_batch_riccati(big, jnp.float32, backend="tpu") \
-        == "assoc"
+        == "scan"
     # On CPU the assoc path wins only at long horizons.
     assert m._auto_batch_riccati(d480, jnp.float64, backend="cpu") \
         == "assoc"
@@ -89,3 +90,21 @@ def test_batch_auto_beyond_kernel_caps_policy():
     d20, _ = double_integrator(20, dtype=jnp.float32)
     assert m._auto_batch_riccati(d20, jnp.float32, backend="tpu") \
         == "scan"
+
+
+def test_beyond_envelope_noeq_policy():
+    """Round-5 policy pin: beyond the fused-kernel envelope the TPU f32
+    product path runs unequilibrated (the equilibrated compilation
+    measured 0% success at copoly N=320 and a refine stall at di N=480;
+    the unequilibrated contract path meets 1e-6 on both)."""
+    d320, _ = copolymerization_reactor(320, dtype=jnp.float32)
+    assert m.beyond_envelope_noeq(d320, jnp.float32, backend="tpu")
+    d480, _ = double_integrator(480, dtype=jnp.float32)
+    assert m.beyond_envelope_noeq(d480, jnp.float32, backend="tpu")
+    # Inside the envelope (the ServoMotor conditioning story) the
+    # equilibration stays on.
+    d20, _ = double_integrator(20, dtype=jnp.float32)
+    assert not m.beyond_envelope_noeq(d20, jnp.float32, backend="tpu")
+    # CPU and f64 paths are untouched.
+    assert not m.beyond_envelope_noeq(d320, jnp.float32, backend="cpu")
+    assert not m.beyond_envelope_noeq(d320, jnp.float64, backend="tpu")
