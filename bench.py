@@ -528,9 +528,11 @@ def run_adaptive(B=None, phase1=16):
     data, z0, l0, v0 = build_batch(B, N, nx, nu, nc, dtype)
 
     one = _jit(lambda d, z, l, v: solve_mpc_qp_batch(d, z, l, v, opts))
+    # Same configuration as the headline (phase1=16, P2=B//8 — the
+    # round-5 ablation's operating point).
     ada = _jit(lambda d, z, l, v: solve_mpc_qp_batch_adaptive_device(
         d, z, l, v, opts, phase1_newton_iters=phase1,
-        phase2_size=max(B // 4, 128)))
+        phase2_size=max(B // 8, 128)))
 
     def timeit(fn):
         _, c = fn(data, z0, l0, v0)
