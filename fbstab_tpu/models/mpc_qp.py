@@ -622,7 +622,7 @@ MPC_OPS = ProblemOps(
 # "auto" switches the single-instance solve to the parallel Riccati at
 # these horizons. Measured single-instance crossovers (double
 # integrator): TPU v5e f32 — assoc wins already at N=60 (1.7x) and by
-# 28x at N=480 (the scan path's per-stage HLO dispatch dominates);
+# 30.9x at N=480 (the scan path per-stage HLO dispatch dominates);
 # CPU f64 — crossover near N=240.
 ASSOC_MIN_HORIZON_TPU = 48
 ASSOC_MIN_HORIZON = 192

@@ -16,16 +16,20 @@ Both phases run through the class dispatchers (`solve_mpc_qp_batch` /
 solver kernels. Compaction stays on device: only the scalar retry COUNT
 crosses the host boundary (it must — the phase-2 batch shape is static).
 
-Measured on v5e (round 4, scratch/tpu_adaptive_sweep.py): with the right
+Measured on v5e (round-4 sweep, re-measured round 5): with the right
 phase-1 budget this is a THROUGHPUT win, not just a tail tool — the
-one-shot fused solve is lockstep per 128-lane tile (34 tile-iterations
-against a per-lane mean of 11.2 on the headline workload), and capping
-phase 1 at 16 with a compacted warmstarted phase 2 runs 21.9k vs 18.8k
-QPs/s at identical 100% success and 1e-6 contract. The budget has a
-FLOOR: phase1=12 under-seeds the phase-2 warmstart (the mid-swing
-iterate is a bad restart point) and lanes fail outright — sweep before
-lowering it. On mixed-difficulty batches (5% hard lanes) the win is
-2.18x (`bench.py adaptive mixed`).
+one-shot fused solve is lockstep per 128-lane tile, and capping phase 1
+at 16 with a compacted warmstarted phase 2 runs 23.9k vs 20.1k QPs/s
+(same-session, `bench.py adaptive`) at identical 100% success and 1e-6
+contract. The budget has a FLOOR: phase1=12 under-seeds the phase-2
+warmstart (the mid-swing iterate is a bad restart point) and lanes fail
+outright — sweep before lowering it. On mixed-difficulty batches (5%
+hard lanes) the win is 1.98x (`bench.py adaptive mixed`). Schedules
+with MORE than two stages measured a loss (restart overhead; see
+solve_batch_adaptive_schedule), and on short-tail workloads
+(warmstarted receding-horizon steps, uniform dense ensembles) the
+two-phase lever itself is a measured null — profile the tail (ni
+p50 vs p99) before reaching for it.
 """
 
 from __future__ import annotations
