@@ -353,13 +353,14 @@ WALK_BAND = 8.0
 WALK_STEPS = 6
 
 
-def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
+def _refine_dense_loop(data, state0, rhs0, res0, options: Options,
                        good, scal=None):
     """Dense analog of _refine_mpc_loop: data and the entry state in loop
     coordinates (the Ruiz-scaled problem when `scal` is given — exact
     pow2), early-exit while_loop on the ORIGINAL-units double-float
-    residual. state0/blocks0/res0 come from _dense_refine_entry,
-    computed outside any compiled loop body.
+    residual. state0/res0 come from _dense_refine_entry, computed
+    outside any compiled loop body; rhs0 is the entry KKT blocks
+    collapsed to single-f32 (see _refine_mpc_loop).
     Returns (VariableDF in loop coords, res, steps)."""
     from fbstab_tpu.models import dense_qp as _dense
 
@@ -378,6 +379,7 @@ def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
         return _dense_norms(alpha, scal, z, l, v, y, rz, rl)
 
     def newton(zh, lh, vh, yh, rz, rl, rv, sig):
+        # rz/rl/rv arrive as single-f32 RHS arrays (rhs_c).
         def one(d, zz, ll, vv, yy, rz_, rl_, rv_, sg):
             xx = Variable(z=zz, l=ll, v=vv, y=yy)
             fact = _dense._factor(d, xx, xx, sg, alpha)
@@ -388,12 +390,12 @@ def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
         return jax.vmap(one)(data, zh, lh, vh, yh, rz, rl, rv, sig)
 
     def body(carry):
-        cur, bst, blocks_c, blocks_b, res_best, live, t, sig, since, i \
+        cur, bst, rhs_c, rhs_b, res_best, live, t, sig, since, i \
             = carry
         z, l, v, y = cur
-        rz, rl, rv = blocks_c
+        rz, rl, rv = rhs_c
         dz, dl, dv, ok = newton(df_to(z), df_to(l), df_to(v), df_to(y),
-                                df_to(rz), df_to(rl), df_to(rv), sig)
+                                rz, rl, rv, sig)
         # Damped step with the bounded non-monotone walk window (full
         # rationale in _refine_mpc_loop's body).
         tm = (t * (live & ok).astype(dtype))[:, None]
@@ -403,6 +405,7 @@ def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
         y_p = margin(z_p)
         blocks_p = _dense_kkt_residual_df(data, z_p, l_p, v_p, y_p, alpha)
         res_p = norms(z_p, l_p, v_p, y_p, *blocks_p[:2])
+        rhs_p = tuple(df_to(b) for b in blocks_p)
         finite = live & ok & jnp.isfinite(res_p)
         improved = finite & (res_p < res_best)
         walk = (finite & ~improved & (res_p < WALK_BAND * res_best)
@@ -414,10 +417,9 @@ def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
                 m.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
         state_p = (z_p, l_p, v_p, y_p)
         cur = sel(advance)(state_p, sel(rejected)(bst, cur))
-        blocks_c = sel(advance)(blocks_p,
-                                sel(rejected)(blocks_b, blocks_c))
+        rhs_c = sel(advance)(rhs_p, sel(rejected)(rhs_b, rhs_c))
         bst = sel(improved)(state_p, bst)
-        blocks_b = sel(improved)(blocks_p, blocks_b)
+        rhs_b = sel(improved)(rhs_p, rhs_b)
         res_best = jnp.where(improved, res_p, res_best)
         since = jnp.where(improved | rejected, 0,
                           jnp.where(walk, since + 1, since))
@@ -426,7 +428,7 @@ def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
                       jnp.where(walk, t, t * 0.5))
         sig = jnp.where(rejected, jnp.minimum(sig * 8.0, 8e-2), sig)
         live = live & (t >= 1.0 / 64.0)
-        return (cur, bst, blocks_c, blocks_b, res_best, live, t, sig,
+        return (cur, bst, rhs_c, rhs_b, res_best, live, t, sig,
                 since, i + 1)
 
     def cond(carry):
@@ -439,7 +441,7 @@ def _refine_dense_loop(data, state0, blocks0, res0, options: Options,
     ones = jnp.ones((B,), dtype)
     zeros_i = jnp.zeros((B,), jnp.int32)
     (_, (z, l, v, y), _, _, res, _, _, _, _, steps) = jax.lax.while_loop(
-        cond, body, (state0, state0, blocks0, blocks0, res0, good, ones,
+        cond, body, (state0, state0, rhs0, rhs0, res0, good, ones,
                      sig0, zeros_i, jnp.int32(0)))
     return VariableDF(z=z, l=l, v=v, y=y), res, steps
 
@@ -561,7 +563,7 @@ def _mpc_refine_entry(data: MpcQPData, x: Variable, options: Options,
     return (zx0, zu0, l0, v0, y0), blocks0, res0
 
 
-def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
+def _refine_mpc_loop(data: MpcQPData, state0, rhs0, res0,
                      options: Options, good, scal=None):
     """Early-exit refinement loop (see block comment above).
 
@@ -569,9 +571,12 @@ def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
     Ruiz-scaled problem when `scal` (a batched MpcScaling) is given — an
     EXACT power-of-two transform, so the fixed point is the original
     problem's solution. The early-exit norm is evaluated in ORIGINAL
-    units via the exact row unscalings. state0/blocks0/res0 come from
-    _mpc_refine_entry, computed outside any compiled loop body.
-    good: (B,) lanes to drive to target.
+    units via the exact row unscalings. state0/res0 come from
+    _mpc_refine_entry, computed outside any compiled loop body; rhs0 is
+    the entry KKT blocks collapsed to single-f32 (`df_to`) — the carry
+    only ever feeds the f32 correction RHS, so carrying the df pairs
+    would waste half the loop state (the fresh per-iteration norm still
+    evaluates full df blocks). good: (B,) lanes to drive to target.
     Returns (VariableDF in loop coords, res, steps), residuals in
     original units."""
     opts = options.validated()
@@ -598,14 +603,13 @@ def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
     step_fn = _mpc._make_fused_step(float(alpha))
 
     def body(carry):
-        cur, bst, blocks_c, blocks_b, res_best, live, t, sig, since, i \
+        cur, bst, rhs_c, rhs_b, res_best, live, t, sig, since, i \
             = carry
         zx, zu, l, v, y = cur
-        rzx, rzu, rl, rv = blocks_c
-        rz_flat = jnp.concatenate(
-            [df_to(rzx), df_to(rzu)], axis=2).reshape(B, -1)
-        rl_flat = df_to(rl).reshape(B, -1)
-        rv_flat = df_to(rv).reshape(B, -1)
+        rzx, rzu, rl, rv = rhs_c
+        rz_flat = jnp.concatenate([rzx, rzu], axis=2).reshape(B, -1)
+        rl_flat = rl.reshape(B, -1)
+        rv_flat = rv.reshape(B, -1)
         vh = df_to(v).reshape(B, -1)
         yh = df_to(y).reshape(B, -1)
         dz, dl, dv, _, ok = jax.vmap(
@@ -648,6 +652,7 @@ def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
         blocks_p = _mpc_kkt_residual_df(data, zx_p, zu_p, l_p, v_p, y_p,
                                         alpha)
         res_p = norms(zx_p, zu_p, l_p, v_p, y_p, *blocks_p[:3])
+        rhs_p = tuple(df_to(b) for b in blocks_p)
         finite = live & ok & jnp.isfinite(res_p)
         improved = finite & (res_p < res_best)
         walk = (finite & ~improved & (res_p < WALK_BAND * res_best)
@@ -659,10 +664,9 @@ def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
                 m.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
         state_p = (zx_p, zu_p, l_p, v_p, y_p)
         cur = sel(advance)(state_p, sel(rejected)(bst, cur))
-        blocks_c = sel(advance)(blocks_p,
-                                sel(rejected)(blocks_b, blocks_c))
+        rhs_c = sel(advance)(rhs_p, sel(rejected)(rhs_b, rhs_c))
         bst = sel(improved)(state_p, bst)
-        blocks_b = sel(improved)(blocks_p, blocks_b)
+        rhs_b = sel(improved)(rhs_p, rhs_b)
         res_best = jnp.where(improved, res_p, res_best)
         since = jnp.where(improved | rejected, 0,
                           jnp.where(walk, since + 1, since))
@@ -671,7 +675,7 @@ def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
                       jnp.where(walk, t, t * 0.5))
         sig = jnp.where(rejected, jnp.minimum(sig * 8.0, 8e-2), sig)
         live = live & (t >= 1.0 / 64.0)
-        return (cur, bst, blocks_c, blocks_b, res_best, live, t, sig,
+        return (cur, bst, rhs_c, rhs_b, res_best, live, t, sig,
                 since, i + 1)
 
     def cond(carry):
@@ -686,7 +690,7 @@ def _refine_mpc_loop(data: MpcQPData, state0, blocks0, res0,
     (_, (zx, zu, l, v, y), _, _, res, _, _, _, _, steps) = \
         jax.lax.while_loop(
             cond, body,
-            (state0, state0, blocks0, blocks0, res0, good, ones, sig0,
+            (state0, state0, rhs0, rhs0, res0, good, ones, sig0,
              zeros_i, jnp.int32(0)))
 
     zshape = (B, N1 * (nx + nu))
@@ -833,17 +837,19 @@ def refine_solution_mpc(data, x: Variable, core, options: Options,
         sdata = jax.vmap(apply_mpc_scaling)(base, scal)
         xs = scale_mpc_variable(x, scal)        # exact (pow2 diagonals)
         state0, blocks0, res0 = _mpc_refine_entry(sdata, xs, opts, scal)
+        rhs0 = tuple(df_to(b) for b in blocks0)
         refined_s, res, steps = _chunked_refine(
             lambda a: _refine_mpc_loop(a[0], a[1], a[2], a[3], opts,
                                        a[4], a[5]),
-            B, (sdata, state0, blocks0, res0, good, scal), rows=rows)
+            B, (sdata, state0, rhs0, res0, good, scal), rows=rows)
         refined = unscale_mpc_variable_df(refined_s, scal)
     else:
         state0, blocks0, res0 = _mpc_refine_entry(base, x, opts)
+        rhs0 = tuple(df_to(b) for b in blocks0)
         refined, res, steps = _chunked_refine(
             lambda a: _refine_mpc_loop(a[0], a[1], a[2], a[3], opts,
                                        a[4]),
-            B, (base, state0, blocks0, res0, good), rows=rows)
+            B, (base, state0, rhs0, res0, good), rows=rows)
     res = _pnr_df_at_mpc(base, refined, opts.alpha)
     return _finish_refine(refined, x, core, good, res0, res, steps)
 
@@ -865,17 +871,19 @@ def refine_solution_dense(data, x: Variable, core, options: Options,
         sdata = jax.vmap(apply_dense_scaling)(data, scal)
         xs = scale_dense_variable(x, scal)
         state0, blocks0, res0 = _dense_refine_entry(sdata, xs, opts, scal)
+        rhs0 = tuple(df_to(b) for b in blocks0)
         refined_s, res, steps = _chunked_refine(
             lambda a: _refine_dense_loop(a[0], a[1], a[2], a[3], opts,
                                          a[4], a[5]),
-            B, (sdata, state0, blocks0, res0, good, scal))
+            B, (sdata, state0, rhs0, res0, good, scal))
         refined = unscale_dense_variable_df(refined_s, scal)
     else:
         state0, blocks0, res0 = _dense_refine_entry(data, x, opts)
+        rhs0 = tuple(df_to(b) for b in blocks0)
         refined, res, steps = _chunked_refine(
             lambda a: _refine_dense_loop(a[0], a[1], a[2], a[3], opts,
                                          a[4]),
-            B, (data, state0, blocks0, res0, good))
+            B, (data, state0, rhs0, res0, good))
     res = _pnr_df_at_dense(data, refined, opts.alpha)
     return _finish_refine(refined, x, core, good, res0, res, steps)
 
