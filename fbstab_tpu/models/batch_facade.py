@@ -44,7 +44,7 @@ class _BatchFacadeBase:
     stats, display."""
 
     def __init__(self, options: Optional[Options], dtype, carry_warmstart,
-                 adaptive, phase1_newton_iters=25, phase2_size=None,
+                 adaptive, phase1_newton_iters=16, phase2_size=None,
                  phase2_fallback=True):
         if options is None:
             options = (Options.single_precision()
@@ -144,12 +144,13 @@ class FBstabMpcBatch(_BatchFacadeBase):
                  dtype=jnp.float32, options: Optional[Options] = None,
                  carry_warmstart: bool = True, shift_carry: bool = True,
                  adaptive: bool = False, riccati: str = "auto",
-                 phase1_newton_iters: int = 25,
+                 phase1_newton_iters: int = 16,
                  phase2_size: Optional[int] = None,
                  phase2_fallback: bool = True):
         """adaptive=True rides the device-side two-phase solve
-        (parallel/adaptive.py): phase 1 capped at `phase1_newton_iters`,
-        up to `phase2_size` stragglers (default B // 4) re-solved
+        (parallel/adaptive.py): phase 1 capped at `phase1_newton_iters`
+        (default 16, the swept headline operating point), up to
+        `phase2_size` stragglers (default B // 8) re-solved
         compacted with a reliable-leaning full budget. With
         `phase2_fallback` (default on) a straggler count beyond the
         capacity triggers a runtime-skippable full-batch full-budget
@@ -187,7 +188,8 @@ class FBstabMpcBatch(_BatchFacadeBase):
                 from fbstab_tpu.parallel.adaptive import (
                     solve_mpc_qp_batch_adaptive_device)
                 return solve_mpc_qp_batch_adaptive_device(
-                    d, z, l, v, opts, **self._adaptive_kwargs())
+                    d, z, l, v, opts, riccati=self.riccati,
+                    **self._adaptive_kwargs())
             return solve_mpc_qp_batch(d, z, l, v, opts,
                                       riccati=self.riccati)
 
@@ -224,7 +226,7 @@ class FBstabDenseBatch(_BatchFacadeBase):
     def __init__(self, B: int, nz: int, nl: int, nv: int,
                  dtype=jnp.float32, options: Optional[Options] = None,
                  carry_warmstart: bool = True, adaptive: bool = False,
-                 phase1_newton_iters: int = 25,
+                 phase1_newton_iters: int = 16,
                  phase2_size: Optional[int] = None,
                  phase2_fallback: bool = True):
         """Two-phase adaptive knobs as FBstabMpcBatch."""

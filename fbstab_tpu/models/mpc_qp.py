@@ -921,6 +921,22 @@ def beyond_envelope_noeq(data: MpcQPData, dtype, backend=None) -> bool:
             and dtype == jnp.float32 and backend == "tpu")
 
 
+def gate_mpc_options(data: MpcQPData, dtype, options):
+    """Applies the beyond-envelope no-equilibration policy to an Options
+    instance (the single implementation every batched MPC entry point
+    shares: the dispatcher, the adaptive wrappers, the receding-horizon
+    driver). Passing an explicit precomputed `scaling=` to those entry
+    points bypasses the gate — that is the deliberate escape hatch for
+    callers who really want the (measured-broken there) equilibrated
+    compilation, e.g. to reproduce the round-5 evidence."""
+    import dataclasses as _dc
+
+    o = options.validated()
+    if o.equilibrate and beyond_envelope_noeq(data, dtype):
+        o = _dc.replace(o, equilibrate=False)
+    return o
+
+
 def _auto_batch_riccati(data: MpcQPData, dtype, backend=None) -> str:
     """Shape-based batch dispatch policy (riccati='auto'):
 
@@ -1001,10 +1017,13 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
         fused Riccati kernel via custom_vmap (TPU) or the lax.scan path
         (CPU / f64);
      4. beyond the kernel envelope (N > 160 / nx > 32 / past the VMEM
-        model): the batched parallel associative-scan Riccati for
-        copoly-class stage dims (nx >= 16), the vmapped sequential scan
-        for small ones (riccati='auto' policy, `_auto_batch_riccati`;
-        measured crossover, round 4).
+        model): the vmapped sequential scan at EVERY stage dimension,
+        unequilibrated (riccati='auto' policy, `_auto_batch_riccati` +
+        `gate_mpc_options` — round-5 revision: the contract stack on
+        scan outruns the old raw-tier assoc numbers and the batched
+        assoc compilation can kernel-fault the TPU worker with the
+        refine graph attached; `riccati="assoc"` remains available
+        explicitly).
 
     riccati: 'auto' (default, the policy above), 'scan' (force the
     sequential-recursion ops; eligible batches still use the fused
@@ -1036,12 +1055,10 @@ def solve_mpc_qp_batch(data: MpcQPData, z0, l0, v0,
         ruiz_mpc_scaling, scaling_engaged, solve_scaled_mpc)
 
     # Beyond-envelope TPU f32 batches run unequilibrated (measured
-    # round-5 policy, beyond_envelope_noeq) unless the caller supplied
-    # a precomputed scaling explicitly.
-    if (scaling is None and opts.equilibrate
-            and beyond_envelope_noeq(data, z0.dtype)):
-        import dataclasses as _dc
-        opts = _dc.replace(opts, equilibrate=False)
+    # round-5 policy, gate_mpc_options) unless the caller supplied a
+    # precomputed scaling explicitly — the documented escape hatch.
+    if scaling is None:
+        opts = gate_mpc_options(data, z0.dtype, opts)
 
     scal = scaling
     if scal is None and scaling_engaged(opts, z0.dtype):

@@ -123,7 +123,7 @@ def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
 
     adaptive=True runs each control step through the device-side
     two-phase solve (parallel/adaptive.py) with the given phase-1 budget
-    and phase-2 capacity (default B // 4) — the same tail-compaction
+    and phase-2 capacity (default B // 8) — the same tail-compaction
     that is the cold-solve headline configuration, composed under the
     scan with the plant Ruiz scaling still hoisted out of the loop.
     """
@@ -150,12 +150,9 @@ def simulate_batch(data: MpcQPData, T: int, x0s: jnp.ndarray,
     # iterations per step on identical plant data). Beyond the kernel
     # envelope the TPU f32 path runs unequilibrated (measured round-5
     # policy, models/mpc_qp.py beyond_envelope_noeq).
-    import dataclasses as _dc
-
-    from fbstab_tpu.models.mpc_qp import beyond_envelope_noeq
+    from fbstab_tpu.models.mpc_qp import gate_mpc_options
     from fbstab_tpu.models.scaling import ruiz_mpc_scaling, scaling_engaged
-    if opts.equilibrate and beyond_envelope_noeq(data, dtype):
-        opts = _dc.replace(opts, equilibrate=False)
+    opts = gate_mpc_options(data, dtype, opts)
     scal = (jax.vmap(ruiz_mpc_scaling)(batch)
             if scaling_engaged(opts, dtype) else None)
 

@@ -282,7 +282,7 @@ def solve_batch_adaptive_schedule(solve_batch, refine_fn, data, z0, l0,
 
 def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
                                 options: Options,
-                                phase1_newton_iters: int = 25,
+                                phase1_newton_iters: int = 16,
                                 phase2_size: int | None = None,
                                 phase2_options: Optional[Options] = None,
                                 make_scaling=None,
@@ -292,8 +292,9 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
     sync — composable with shard_map / pjit (VERDICT r2 item 6; the host
     version above cannot run inside the flagship multi-chip path).
 
-    Phase 1 runs with a small Newton budget; up to `phase2_size`
-    stragglers (default B // 4) are compacted ON DEVICE into a
+    Phase 1 runs with a small Newton budget (default 16 — the swept
+    headline operating point); up to `phase2_size` stragglers (default
+    B // 8, the round-5 ablation optimum) are compacted ON DEVICE into a
     fixed-shape phase-2 batch, re-solved warmstarted with a
     reliable-leaning profile, and scattered back. When the straggler
     count EXCEEDS phase2_size and `phase2_fallback` is on, a
@@ -316,7 +317,7 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
     compute it once per plant, outside their control-step scan).
     """
     B = z0.shape[0]
-    P = phase2_size if phase2_size is not None else max(B // 4, 1)
+    P = phase2_size if phase2_size is not None else max(B // 8, 1)
     prof2 = phase2_options if phase2_options is not None else "reliable"
     return solve_batch_adaptive_schedule(
         solve_batch, refine_fn, data, z0, l0, v0, options,
@@ -325,44 +326,41 @@ def solve_batch_adaptive_device(solve_batch, refine_fn, data, z0, l0, v0,
         fallback=phase2_fallback)
 
 
-def _mpc_gate_options(data, dtype, options: Options) -> Options:
-    """Apply the beyond-envelope no-equilibration policy before the
-    schedule computes its shared scaling (models/mpc_qp.py,
-    beyond_envelope_noeq — measured round 5)."""
-    from fbstab_tpu.models.mpc_qp import beyond_envelope_noeq
-
-    o = options.validated()
-    if o.equilibrate and beyond_envelope_noeq(data, dtype):
-        o = dataclasses.replace(o, equilibrate=False)
-    return o
-
-
 def solve_mpc_qp_batch_adaptive_device(data, z0, l0, v0, options: Options,
-                                       **kwargs):
-    """Device-side (jittable, shard_map-safe) adaptive MPC batch solve."""
-    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+                                       riccati: str = "auto", **kwargs):
+    """Device-side (jittable, shard_map-safe) adaptive MPC batch solve.
+    `riccati` threads through to solve_mpc_qp_batch for every stage."""
+    import functools
+
+    from fbstab_tpu.models.mpc_qp import (gate_mpc_options,
+                                          solve_mpc_qp_batch)
     from fbstab_tpu.models.refine import refine_solution_mpc
     from fbstab_tpu.models.scaling import ruiz_mpc_scaling
 
     kwargs.setdefault("make_scaling", ruiz_mpc_scaling)
     return solve_batch_adaptive_device(
-        solve_mpc_qp_batch, refine_solution_mpc, data, z0, l0, v0,
-        _mpc_gate_options(data, z0.dtype, options), **kwargs)
+        functools.partial(solve_mpc_qp_batch, riccati=riccati),
+        refine_solution_mpc, data, z0, l0, v0,
+        gate_mpc_options(data, z0.dtype, options), **kwargs)
 
 
 def solve_mpc_qp_batch_adaptive_schedule(data, z0, l0, v0,
                                          options: Options, stages,
-                                         **kwargs):
+                                         riccati: str = "auto", **kwargs):
     """N-stage device-side adaptive MPC batch solve (see
     solve_batch_adaptive_schedule for the stage tuple semantics)."""
-    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    import functools
+
+    from fbstab_tpu.models.mpc_qp import (gate_mpc_options,
+                                          solve_mpc_qp_batch)
     from fbstab_tpu.models.refine import refine_solution_mpc
     from fbstab_tpu.models.scaling import ruiz_mpc_scaling
 
     kwargs.setdefault("make_scaling", ruiz_mpc_scaling)
     return solve_batch_adaptive_schedule(
-        solve_mpc_qp_batch, refine_solution_mpc, data, z0, l0, v0,
-        _mpc_gate_options(data, z0.dtype, options), stages, **kwargs)
+        functools.partial(solve_mpc_qp_batch, riccati=riccati),
+        refine_solution_mpc, data, z0, l0, v0,
+        gate_mpc_options(data, z0.dtype, options), stages, **kwargs)
 
 
 def solve_dense_qp_batch_adaptive_schedule(data, z0, l0, v0,

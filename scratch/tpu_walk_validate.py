@@ -72,9 +72,16 @@ def run(label, args, o):
     print(msg, flush=True)
 
 
+# NOTE (round 5, post-gate): solve_mpc_qp_batch now applies
+# gate_mpc_options, so passing default options (equilibrate=True) at
+# these beyond-envelope shapes runs the SAME unequilibrated program as
+# `noeq` — both rows below measure the gated product path. To reproduce
+# the round-5 eq-stagnation evidence, bypass the gate by passing an
+# explicit precomputed `scaling=` (see gate_mpc_options docstring) or
+# check out the pre-gate commit (a6de30c^).
 di = make_batch(double_integrator, 480, 256)
-run("di N=480 contract (eq) WALK", di, opts)
+run("di N=480 contract gated(default) WALK", di, opts)
 run("di N=480 contract noeq WALK", di, noeq)
 cp = make_batch(copolymerization_reactor, 320, 256)
 run("copoly N=320 contract noeq WALK", cp, noeq)
-run("copoly N=320 contract (eq) WALK", cp, opts)
+run("copoly N=320 contract gated(default) WALK", cp, opts)
