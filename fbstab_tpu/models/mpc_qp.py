@@ -893,8 +893,6 @@ def _subfused_eligible(data: MpcQPData, dtype):
 # Single-instance dispatch is different: there the lanes are EMPTY and
 # the scan is pure dispatch latency — assoc wins from N >= 48
 # (ASSOC_MIN_HORIZON_TPU above).
-ASSOC_MIN_STATE_DIM_BATCH = 16   # retained for reference/tests; unused
-                                 # by auto since round 5.
 
 
 def beyond_envelope_noeq(data: MpcQPData, dtype, backend=None) -> bool:
