@@ -353,6 +353,38 @@ WALK_BAND = 8.0
 WALK_STEPS = 6
 
 
+def _walk_update(B, live, ok, res_p, res_best, since, t, sig,
+                 state_p, cur, bst, rhs_p, rhs_c, rhs_b):
+    """Shared step-acceptance bookkeeping for the product refinement
+    loops (MPC and dense): improved / bounded-walk / reject-and-escalate
+    classification plus the CURRENT/BEST state selection (full rationale
+    in _refine_mpc_loop's body comment). All of state/rhs are pytrees of
+    (B, ...) leaves; returns the updated
+    (cur, bst, rhs_c, rhs_b, res_best, live, t, sig, since)."""
+    finite = live & ok & jnp.isfinite(res_p)
+    improved = finite & (res_p < res_best)
+    walk = (finite & ~improved & (res_p < WALK_BAND * res_best)
+            & (since < WALK_STEPS) & (t >= 1.0))
+    advance = improved | walk
+    rejected = live & ~advance
+    sel = lambda m: lambda pn, po: jax.tree.map(
+        lambda a, b: jnp.where(
+            m.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
+    cur = sel(advance)(state_p, sel(rejected)(bst, cur))
+    rhs_c = sel(advance)(rhs_p, sel(rejected)(rhs_b, rhs_c))
+    bst = sel(improved)(state_p, bst)
+    rhs_b = sel(improved)(rhs_p, rhs_b)
+    res_best = jnp.where(improved, res_p, res_best)
+    since = jnp.where(improved | rejected, 0,
+                      jnp.where(walk, since + 1, since))
+    wind = rejected & (sig < 8e-2)
+    t = jnp.where(improved | wind, 1.0,
+                  jnp.where(walk, t, t * 0.5))
+    sig = jnp.where(rejected, jnp.minimum(sig * 8.0, 8e-2), sig)
+    live = live & (t >= 1.0 / 64.0)
+    return cur, bst, rhs_c, rhs_b, res_best, live, t, sig, since
+
+
 def _refine_dense_loop(data, state0, rhs0, res0, options: Options,
                        good, scal=None):
     """Dense analog of _refine_mpc_loop: data and the entry state in loop
@@ -406,30 +438,10 @@ def _refine_dense_loop(data, state0, rhs0, res0, options: Options,
         blocks_p = _dense_kkt_residual_df(data, z_p, l_p, v_p, y_p, alpha)
         res_p = norms(z_p, l_p, v_p, y_p, *blocks_p[:2])
         rhs_p = tuple(df_to(b) for b in blocks_p)
-        finite = live & ok & jnp.isfinite(res_p)
-        improved = finite & (res_p < res_best)
-        walk = (finite & ~improved & (res_p < WALK_BAND * res_best)
-                & (since < WALK_STEPS) & (t >= 1.0))
-        advance = improved | walk
-        rejected = live & ~advance
-        sel = lambda m: lambda pn, po: jax.tree.map(
-            lambda a, b: jnp.where(
-                m.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
-        state_p = (z_p, l_p, v_p, y_p)
-        cur = sel(advance)(state_p, sel(rejected)(bst, cur))
-        rhs_c = sel(advance)(rhs_p, sel(rejected)(rhs_b, rhs_c))
-        bst = sel(improved)(state_p, bst)
-        rhs_b = sel(improved)(rhs_p, rhs_b)
-        res_best = jnp.where(improved, res_p, res_best)
-        since = jnp.where(improved | rejected, 0,
-                          jnp.where(walk, since + 1, since))
-        wind = rejected & (sig < 8e-2)
-        t = jnp.where(improved | wind, 1.0,
-                      jnp.where(walk, t, t * 0.5))
-        sig = jnp.where(rejected, jnp.minimum(sig * 8.0, 8e-2), sig)
-        live = live & (t >= 1.0 / 64.0)
-        return (cur, bst, rhs_c, rhs_b, res_best, live, t, sig,
-                since, i + 1)
+        out = _walk_update(B, live, ok, res_p, res_best, since, t, sig,
+                           (z_p, l_p, v_p, y_p), cur, bst, rhs_p, rhs_c,
+                           rhs_b)
+        return out + (i + 1,)
 
     def cond(carry):
         res_best, live = carry[4], carry[5]
@@ -653,30 +665,10 @@ def _refine_mpc_loop(data: MpcQPData, state0, rhs0, res0,
                                         alpha)
         res_p = norms(zx_p, zu_p, l_p, v_p, y_p, *blocks_p[:3])
         rhs_p = tuple(df_to(b) for b in blocks_p)
-        finite = live & ok & jnp.isfinite(res_p)
-        improved = finite & (res_p < res_best)
-        walk = (finite & ~improved & (res_p < WALK_BAND * res_best)
-                & (since < WALK_STEPS) & (t >= 1.0))
-        advance = improved | walk
-        rejected = live & ~advance
-        sel = lambda m: lambda pn, po: jax.tree.map(
-            lambda a, b: jnp.where(
-                m.reshape((B,) + (1,) * (a.ndim - 1)), a, b), pn, po)
-        state_p = (zx_p, zu_p, l_p, v_p, y_p)
-        cur = sel(advance)(state_p, sel(rejected)(bst, cur))
-        rhs_c = sel(advance)(rhs_p, sel(rejected)(rhs_b, rhs_c))
-        bst = sel(improved)(state_p, bst)
-        rhs_b = sel(improved)(rhs_p, rhs_b)
-        res_best = jnp.where(improved, res_p, res_best)
-        since = jnp.where(improved | rejected, 0,
-                          jnp.where(walk, since + 1, since))
-        wind = rejected & (sig < 8e-2)
-        t = jnp.where(improved | wind, 1.0,
-                      jnp.where(walk, t, t * 0.5))
-        sig = jnp.where(rejected, jnp.minimum(sig * 8.0, 8e-2), sig)
-        live = live & (t >= 1.0 / 64.0)
-        return (cur, bst, rhs_c, rhs_b, res_best, live, t, sig,
-                since, i + 1)
+        out = _walk_update(B, live, ok, res_p, res_best, since, t, sig,
+                           (zx_p, zu_p, l_p, v_p, y_p), cur, bst, rhs_p,
+                           rhs_c, rhs_b)
+        return out + (i + 1,)
 
     def cond(carry):
         res_best, live = carry[4], carry[5]
