@@ -923,10 +923,12 @@ def gate_mpc_options(data: MpcQPData, dtype, options):
     """Applies the beyond-envelope no-equilibration policy to an Options
     instance (the single implementation every batched MPC entry point
     shares: the dispatcher, the adaptive wrappers, the receding-horizon
-    driver). Passing an explicit precomputed `scaling=` to those entry
-    points bypasses the gate — that is the deliberate escape hatch for
-    callers who really want the (measured-broken there) equilibrated
-    compilation, e.g. to reproduce the round-5 evidence."""
+    driver). Passing an explicit precomputed `scaling=` to
+    solve_mpc_qp_batch or the adaptive wrappers bypasses the gate —
+    that is the deliberate escape hatch for callers who really want the
+    (measured-broken there) equilibrated compilation, e.g. to reproduce
+    the round-5 evidence. The receding-horizon driver has no scaling
+    parameter and always applies the gate."""
     import dataclasses as _dc
 
     o = options.validated()

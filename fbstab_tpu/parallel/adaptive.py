@@ -63,7 +63,7 @@ def reliable_leaning(options: Options) -> Options:
 
 def solve_batch_adaptive(solve_batch: Callable, data, z0, l0, v0,
                          options: Options,
-                         phase1_newton_iters: int = 25,
+                         phase1_newton_iters: int = 16,
                          pad_multiple: int = 128,
                          phase2_options: Optional[Options] = None,
                          refine_fn: Optional[Callable] = None):
@@ -338,10 +338,14 @@ def solve_mpc_qp_batch_adaptive_device(data, z0, l0, v0, options: Options,
     from fbstab_tpu.models.scaling import ruiz_mpc_scaling
 
     kwargs.setdefault("make_scaling", ruiz_mpc_scaling)
+    # An explicitly supplied scaling= is the documented gate bypass
+    # (gate_mpc_options); only gate when the schedule will derive its
+    # own equilibration.
+    o = (options.validated() if kwargs.get("scaling") is not None
+         else gate_mpc_options(data, z0.dtype, options))
     return solve_batch_adaptive_device(
         functools.partial(solve_mpc_qp_batch, riccati=riccati),
-        refine_solution_mpc, data, z0, l0, v0,
-        gate_mpc_options(data, z0.dtype, options), **kwargs)
+        refine_solution_mpc, data, z0, l0, v0, o, **kwargs)
 
 
 def solve_mpc_qp_batch_adaptive_schedule(data, z0, l0, v0,
@@ -357,10 +361,11 @@ def solve_mpc_qp_batch_adaptive_schedule(data, z0, l0, v0,
     from fbstab_tpu.models.scaling import ruiz_mpc_scaling
 
     kwargs.setdefault("make_scaling", ruiz_mpc_scaling)
+    o = (options.validated() if kwargs.get("scaling") is not None
+         else gate_mpc_options(data, z0.dtype, options))
     return solve_batch_adaptive_schedule(
         functools.partial(solve_mpc_qp_batch, riccati=riccati),
-        refine_solution_mpc, data, z0, l0, v0,
-        gate_mpc_options(data, z0.dtype, options), stages, **kwargs)
+        refine_solution_mpc, data, z0, l0, v0, o, stages, **kwargs)
 
 
 def solve_dense_qp_batch_adaptive_schedule(data, z0, l0, v0,
@@ -379,12 +384,16 @@ def solve_dense_qp_batch_adaptive_schedule(data, z0, l0, v0,
 
 def solve_mpc_qp_batch_adaptive(data, z0, l0, v0, options: Options,
                                 **kwargs):
-    """Adaptive two-phase MPC batch solve on the fused dispatch path."""
-    from fbstab_tpu.models.mpc_qp import solve_mpc_qp_batch
+    """Adaptive two-phase MPC batch solve on the fused dispatch path
+    (host-sync variant). Gated like the device wrappers so the deferred
+    refine pass sees the same (possibly beyond-envelope-noeq) options
+    as the solve phases."""
+    from fbstab_tpu.models.mpc_qp import gate_mpc_options, solve_mpc_qp_batch
     from fbstab_tpu.models.refine import refine_solution_mpc
 
     return solve_batch_adaptive(
-        solve_mpc_qp_batch, data, z0, l0, v0, options,
+        solve_mpc_qp_batch, data, z0, l0, v0,
+        gate_mpc_options(data, z0.dtype, options),
         refine_fn=refine_solution_mpc, **kwargs)
 
 

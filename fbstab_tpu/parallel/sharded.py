@@ -173,7 +173,7 @@ def sharded_mpc_solver(mesh: Mesh, options: Options = Options(),
 def sharded_mpc_solver_adaptive(mesh: Mesh, options: Options = Options(),
                                 axis_name: str = BATCH_AXIS,
                                 with_stats: bool = True,
-                                phase1_newton_iters: int = 25,
+                                phase1_newton_iters: int = 16,
                                 phase2_size: int | None = None):
     """MPC batch solver running the DEVICE-SIDE two-phase adaptive scheme
     (parallel/adaptive.solve_batch_adaptive_device) on each shard under
